@@ -1,0 +1,67 @@
+"""Uniform encode/decode dispatch over all framed codecs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from . import blocks, chain, fsst, intcodec, strings
+
+STRING_CODECS = ("plain", "dict", "rle", "hex", "fsst")
+
+
+def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
+    if codec == "plain":
+        return strings.encode_plain(series, **kw)
+    if codec == "dict":
+        return strings.encode_dict(series, **kw)
+    if codec == "rle":
+        return strings.encode_rle(series, **kw)
+    if codec == "hex":
+        return strings.encode_hex(series)
+    if codec == "fsst":
+        return fsst.encode_fsst(series, **kw)
+    if codec == "for":
+        return intcodec.encode_for(series)
+    if codec == "chain":
+        return chain.encode_chain(series, **kw)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_block(buf: bytes) -> pd.Series:
+    codec, meta, payload = blocks.unframe(buf)
+    if codec == "plain":
+        return strings.decode_plain(meta, payload)
+    if codec == "dict":
+        return strings.decode_dict(meta, payload)
+    if codec == "rle":
+        return strings.decode_rle(meta, payload)
+    if codec == "hex":
+        return strings.decode_hex(meta, payload)
+    if codec == "fsst":
+        return fsst.decode_fsst(meta, payload)
+    if codec == "for":
+        return intcodec.decode_for(meta, payload)
+    if codec == "chain":
+        return chain.decode_chain(meta, payload)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def block_codec(buf: bytes) -> str:
+    codec, _, _ = blocks.unframe(buf)
+    return codec
+
+
+def sha256_column(series: pd.Series) -> str:
+    """Order-sensitive digest of a string column (null-aware)."""
+    h = hashlib.sha256()
+    for v in series:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            h.update(b"\x00N")
+        else:
+            b = v.encode("utf-8")
+            h.update(len(b).to_bytes(8, "little"))
+            h.update(b)
+    return h.hexdigest()

@@ -1,0 +1,116 @@
+"""Block container + wire format for encoded column blocks.
+
+A block is the unit of encoded data: one column slice encoded by one
+codec.  The wire format is self-describing so blocks nest (RLE stores
+its run-values as an inner block, CHAIN stores its line payloads as an
+inner block, ...).
+
+Wire layout (little-endian):
+
+    magic   4 bytes  b"DSB1"
+    codec   1 byte   codec id (see CODEC_IDS)
+    mlen    4 bytes  uint32 length of meta JSON
+    meta    mlen bytes (compact JSON, sorted keys -> deterministic)
+    payload rest
+
+Determinism is a hard requirement: re-encoding the same input must
+produce byte-identical blocks so checkpoint resume can verify work by
+hash (reference analog: BTreeMap's deterministic ordering,
+/root/reference/deltoid/src/collections/btreemap.rs:56-84).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"DSB1"
+
+CODEC_IDS = {
+    "plain": 0,
+    "dict": 1,
+    "rle": 2,
+    "for": 3,  # frame-of-reference + bit-pack, int64
+    "fsst": 4,
+    "chain": 5,
+    "hex": 6,
+}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+_HEADER = struct.Struct("<4sBI")
+
+
+def frame(codec: str, meta: dict, payload: bytes) -> bytes:
+    """Wrap (codec, meta, payload) into the self-describing wire format."""
+    mbytes = json.dumps(meta, sort_keys=True, separators=(",", ":")).encode()
+    return _HEADER.pack(MAGIC, CODEC_IDS[codec], len(mbytes)) + mbytes + payload
+
+
+def unframe(buf: bytes) -> tuple[str, dict, bytes]:
+    magic, codec_id, mlen = _HEADER.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad block magic: {magic!r}")
+    off = _HEADER.size
+    meta = json.loads(buf[off : off + mlen].decode())
+    return CODEC_NAMES[codec_id], meta, buf[off + mlen :]
+
+
+# ---------------------------------------------------------------- zstd ----
+
+
+def compress(data: bytes, level: int = 3) -> bytes:
+    """zstd via pyarrow (JVM-free, vectorized C path)."""
+    return pa.compress(data, codec="zstd", asbytes=True)
+
+
+def decompress(data: bytes, raw_size: int) -> bytes:
+    return pa.decompress(data, decompressed_size=raw_size, codec="zstd", asbytes=True)
+
+
+# ----------------------------------------------------------- null masks ----
+
+
+def pack_mask(mask: np.ndarray) -> bytes:
+    """Pack a boolean validity mask (True == null) into bits."""
+    return np.packbits(mask.astype(np.uint8), bitorder="little").tobytes()
+
+
+def unpack_mask(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    return bits[:n].astype(bool)
+
+
+# ------------------------------------------------- bit-packed int arrays ----
+
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative uint64 values into `width` bits each.
+
+    Vectorized: value -> (n, width) bit matrix -> np.packbits.
+    """
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = values.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent max_value (0 -> 0 bits)."""
+    return int(max_value).bit_length()

@@ -1,0 +1,192 @@
+"""CHAIN codec: deltoid-style inter-version content deltas.
+
+Re-expresses the reference's snapshot chain
+(``DeltaSnapshots``/``push_snapshot``/``to_full_snapshots``,
+/root/reference/deltoid/src/snapshot/delta.rs:108-151) and its Vec edit
+alphabet (``EltDelta::{Edit{index,item}, Add(delta), Remove{count}}``,
+/root/reference/deltoid/src/vec.rs:103-137) as a columnar kernel:
+
+* a file's commit chain = ordered versions of ``content`` within one
+  ``(repo, path)`` group (rows must arrive group-contiguous, ordered);
+* version 0 and every K-th version is a **keyframe** (full text) —
+  mirrors "the first delta is a full snapshot" (delta.rs:137-151) while
+  bounding decode cost;
+* other versions store a positional line edit script vs the previous
+  version: edit (index, new line), appended lines, tail-remove count —
+  exactly the reference's stack-like positional diff (vec.rs:8-11,
+  50-67: NOT an LCS), with consecutive removes coalesced into one count
+  (vec.rs:61-64);
+* a delta that would be larger than the full text degrades to a
+  keyframe (short-circuit, analog of gen/structs.rs:457 equality check);
+* nulls are explicit states: any null->x or x->null transition forces a
+  keyframe, so value->null round-trips exactly — fixing the
+  ``OptionDelta`` ambiguity the reference documents
+  (/root/reference/deltoid-quickcheck-tests/src/main.rs:14-22).
+
+Round-trip law (reference: deltoid-quickcheck-tests/src/main.rs:26-32):
+``decode_chain(encode_chain(contents, groups)) == contents`` bytewise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import blocks
+from .intcodec import pack_ints, unpack_ints
+from .strings import decode_plain, encode_plain
+
+DEFAULT_KEYFRAME_INTERVAL = 16
+
+
+def _line_delta(prev: list[str], new: list[str]) -> tuple[np.ndarray, list[str], list[str], int]:
+    """Positional edit script prev -> new (deltoid Vec semantics)."""
+    m = min(len(prev), len(new))
+    if m:
+        a = np.array(prev[:m], dtype=object)
+        b = np.array(new[:m], dtype=object)
+        edit_idx = np.flatnonzero(a != b)
+        edit_lines = b[edit_idx].tolist()
+    else:
+        edit_idx = np.zeros(0, dtype=np.int64)
+        edit_lines = []
+    adds = new[m:] if len(new) > m else []
+    remove = len(prev) - len(new) if len(prev) > len(new) else 0
+    return edit_idx.astype(np.int64), edit_lines, adds, remove
+
+
+def encode_chain(
+    contents: pd.Series,
+    group_sizes: np.ndarray,
+    keyframe_interval: int = DEFAULT_KEYFRAME_INTERVAL,
+    level: int = 3,
+) -> bytes:
+    """Encode a content column whose rows are group-contiguous chains."""
+    n = len(contents)
+    assert int(np.sum(group_sizes)) == n, "group sizes must cover all rows"
+    vals = contents.to_numpy(dtype=object)
+    is_null = pd.isna(vals)
+
+    is_key = np.zeros(n, dtype=bool)
+    key_texts: list[str] = []
+    edit_counts: list[int] = []
+    add_counts: list[int] = []
+    remove_counts: list[int] = []
+    edit_indices: list[np.ndarray] = []
+    delta_lines: list[str] = []
+
+    row = 0
+    for gsize in group_sizes:
+        prev_lines: list[str] | None = None
+        prev_null = True
+        for v in range(int(gsize)):
+            i = row + v
+            cur_null = bool(is_null[i])
+            text = None if cur_null else vals[i]
+            force_key = (
+                v % keyframe_interval == 0 or cur_null or prev_null
+            )
+            if not force_key:
+                new_lines = text.split("\n")
+                eidx, elines, adds, rem = _line_delta(prev_lines, new_lines)
+                # degrade to keyframe if the script doesn't pay
+                script_chars = sum(len(s) for s in elines) + sum(len(s) for s in adds)
+                if script_chars + 8 * (len(eidx) + 2) >= len(text):
+                    force_key = True
+                else:
+                    edit_counts.append(len(eidx))
+                    add_counts.append(len(adds))
+                    remove_counts.append(rem)
+                    edit_indices.append(eidx)
+                    delta_lines.extend(elines)
+                    delta_lines.extend(adds)
+                    prev_lines = new_lines
+            if force_key:
+                is_key[i] = True
+                if not cur_null:
+                    key_texts.append(text)
+                    prev_lines = text.split("\n")
+                else:
+                    prev_lines = None
+            prev_null = cur_null
+        row += int(gsize)
+
+    gmeta, gpay = pack_ints(np.asarray(group_sizes, dtype=np.int64))
+    key_bits = blocks.pack_mask(is_key)
+    null_bits = blocks.pack_mask(is_null)
+    keys_block = encode_plain(pd.Series(key_texts, dtype=object), level)
+    emeta, epay = pack_ints(np.array(edit_counts, dtype=np.int64))
+    ameta, apay = pack_ints(np.array(add_counts, dtype=np.int64))
+    rmeta, rpay = pack_ints(np.array(remove_counts, dtype=np.int64))
+    flat_idx = (
+        np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64)
+    )
+    imeta, ipay = pack_ints(flat_idx)
+    lines_block = encode_plain(pd.Series(delta_lines, dtype=object), level)
+
+    meta = {
+        "n": n, "k": keyframe_interval,
+        "groups": gmeta, "gplen": len(gpay),
+        "kb_len": len(key_bits), "nb_len": len(null_bits),
+        "keys_len": len(keys_block),
+        "ec": emeta, "eclen": len(epay),
+        "ac": ameta, "aclen": len(apay),
+        "rc": rmeta, "rclen": len(rpay),
+        "ei": imeta, "eilen": len(ipay),
+    }
+    payload = b"".join(
+        (gpay, key_bits, null_bits, keys_block, epay, apay, rpay, ipay, lines_block)
+    )
+    return blocks.frame("chain", meta, payload)
+
+
+def decode_chain(meta: dict, payload: bytes) -> pd.Series:
+    n = meta["n"]
+    p = 0
+    gplen = meta["gplen"]
+    group_sizes = unpack_ints(meta["groups"], payload[p : p + gplen]); p += gplen
+    is_key = blocks.unpack_mask(payload[p : p + meta["kb_len"]], n); p += meta["kb_len"]
+    is_null = blocks.unpack_mask(payload[p : p + meta["nb_len"]], n); p += meta["nb_len"]
+    _, kmeta, kpay = blocks.unframe(payload[p : p + meta["keys_len"]]); p += meta["keys_len"]
+    key_texts = decode_plain(kmeta, kpay).tolist()
+    edit_counts = unpack_ints(meta["ec"], payload[p : p + meta["eclen"]]); p += meta["eclen"]
+    add_counts = unpack_ints(meta["ac"], payload[p : p + meta["aclen"]]); p += meta["aclen"]
+    remove_counts = unpack_ints(meta["rc"], payload[p : p + meta["rclen"]]); p += meta["rclen"]
+    edit_idx_flat = unpack_ints(meta["ei"], payload[p : p + meta["eilen"]]); p += meta["eilen"]
+    _, lmeta, lpay = blocks.unframe(payload[p:])
+    delta_lines = decode_plain(lmeta, lpay).tolist()
+
+    out = np.empty(n, dtype=object)
+    ki = 0          # keyframe text cursor
+    di = 0          # delta row cursor
+    ei = 0          # flat edit-index cursor
+    li = 0          # delta line cursor
+    row = 0
+    for gsize in group_sizes:
+        prev_lines: list[str] | None = None
+        for v in range(int(gsize)):
+            i = row + v
+            if is_key[i]:
+                if is_null[i]:
+                    out[i] = None
+                    prev_lines = None
+                else:
+                    text = key_texts[ki]; ki += 1
+                    out[i] = text
+                    prev_lines = text.split("\n")
+            else:
+                ec = int(edit_counts[di]); ac = int(add_counts[di]); rc = int(remove_counts[di])
+                di += 1
+                idx = edit_idx_flat[ei : ei + ec]; ei += ec
+                elines = delta_lines[li : li + ec]; li += ec
+                alines = delta_lines[li : li + ac]; li += ac
+                lines = list(prev_lines)
+                for j, line in zip(idx, elines):
+                    lines[int(j)] = line
+                if rc:
+                    del lines[len(lines) - rc :]
+                lines.extend(alines)
+                out[i] = "\n".join(lines)
+                prev_lines = lines
+        row += int(gsize)
+    return pd.Series(out, dtype=object)

@@ -1,0 +1,106 @@
+"""Per-column codec auto-selector.
+
+The reference dispatches statically by type (``<T as Core>::Delta``,
+/root/reference/deltoid/src/core.rs:9-13); our dynamic analog samples
+column statistics (distinct ratio, mean run length, avg length, byte
+entropy, hex-ness — north_rule "codec auto-selection") to shortlist
+candidates, then trial-encodes a deterministic sample and picks the
+smallest output.  Trial-encode on a sample keeps the choice honest
+(estimated-size formulas drift; measured bytes don't) while bounding
+cost: the sample is capped, the full encode runs once with the winner.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from . import api, strings
+
+SAMPLE_ROWS = 1024
+
+
+def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
+    n = len(series)
+    s = series if n <= sample_rows else series.iloc[:: max(1, n // sample_rows)]
+    vals = s.dropna()
+    nn = len(vals)
+    if nn == 0:
+        return {"n": n, "distinct_ratio": 0.0, "mean_run": float(n or 1),
+                "avg_len": 0.0, "entropy": 0.0, "hex": False, "null_ratio": 1.0}
+    distinct = vals.nunique()
+    arr = s.fillna("\x00NULL").to_numpy(dtype=object)
+    changes = 1 + int(np.sum(arr[1:] != arr[:-1])) if len(arr) > 1 else 1
+    data = "".join(vals.iloc[:256].tolist()).encode("utf-8")[:65536]
+    if data:
+        counts = np.array(list(Counter(data).values()), dtype=np.float64)
+        p = counts / counts.sum()
+        entropy = float(-(p * np.log2(p)).sum())
+    else:
+        entropy = 0.0
+    return {
+        "n": n,
+        "distinct_ratio": distinct / nn,
+        "mean_run": len(arr) / changes,
+        "avg_len": float(vals.str.len().mean()),
+        "entropy": entropy,
+        "hex": strings.hex_eligible(vals),
+        "null_ratio": 1.0 - nn / max(1, len(s)),
+    }
+
+
+def shortlist(stats: dict) -> list[str]:
+    cands = ["plain"]
+    if stats["hex"]:
+        cands.append("hex")
+    if stats["distinct_ratio"] <= 0.5:
+        cands.append("dict")
+    if stats["mean_run"] >= 1.5:
+        cands.append("rle")
+    # FSST pays on short-to-medium redundant strings with sub-maximal entropy
+    if 0 < stats["avg_len"] <= 512 and stats["entropy"] < 6.5 and not stats["hex"]:
+        cands.append("fsst")
+    return cands
+
+
+def select_codec(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> tuple[str, dict]:
+    """Pick the min-size codec by trial-encoding deterministic samples.
+
+    Block size splits into a fixed part (symbol/dictionary tables, zstd
+    headers) and a per-row part; which dominates differs per codec
+    (FSST is nearly all table, PLAIN nearly all rows).  Trial-encode at
+    two sample sizes, fit ``size(n) = fixed + per_row * n``, and rank
+    codecs by the extrapolated full-block size.
+    """
+    stats = column_stats(series, sample_rows)
+    cands = shortlist(stats)
+    n = len(series)
+    if n <= sample_rows:
+        sizes = {}
+        for codec in cands:
+            try:
+                sizes[codec] = float(len(api.encode_block(series.reset_index(drop=True), codec)))
+            except Exception:
+                continue
+        winner = min(sizes, key=lambda c: (sizes[c], c))
+        stats["trial_sizes"] = sizes
+        return winner, stats
+
+    full = series.iloc[:: max(1, n // sample_rows)].reset_index(drop=True)
+    half = full.iloc[: max(1, len(full) // 2)]
+    est: dict[str, float] = {}
+    for codec in cands:
+        try:
+            s_full = len(api.encode_block(full, codec))
+            s_half = len(api.encode_block(half.reset_index(drop=True), codec))
+        except Exception:
+            continue
+        per_row = max(0.0, (s_full - s_half) / max(1, len(full) - len(half)))
+        fixed = max(16.0, s_full - per_row * len(full))
+        est[codec] = fixed + per_row * n
+    winner = min(est, key=lambda c: (est[c], c))  # deterministic tie-break
+    stats["trial_sizes"] = est
+    return winner, stats

@@ -1,0 +1,230 @@
+"""Per-codec round-trip tests.
+
+Mirrors the reference's in-module golden tests (canonical pattern:
+``delta = a.delta(&b); assert_eq!(a.apply(delta), b)`` —
+/root/reference/deltoid/src/vec.rs:166-265) as
+``decode(encode(block)) == block`` bit-identical, over the degenerate
+and adversarial block shapes from FIXTURES.md F2.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deltoid_spark.kernels import api, blocks, chain, fsst, selector, strings
+from deltoid_spark.kernels.intcodec import pack_ints, unpack_ints
+
+STRING_CODECS = ["plain", "dict", "rle", "fsst"]
+
+rng = random.Random(42)
+
+
+def _roundtrip(series: pd.Series, codec: str):
+    buf = api.encode_block(series, codec)
+    out = api.decode_block(buf)
+    assert len(out) == len(series)
+    for a, b in zip(series.tolist(), out.tolist()):
+        assert (a is None and b is None) or a == b, (codec, a, b)
+    return buf
+
+
+BLOCKS = {
+    "empty": [],
+    "single": ["hello"],
+    "all_equal": ["x"] * 1000,
+    "all_null": [None] * 100,
+    "some_null": ["a", None, "b", None, None, "c"],
+    "unicode": ["héllo", "émoji 🎉🎊", "日本語テキスト", "", "tab\tnewline\n", "crlf\r\nline"],
+    "low_card": [f"v{i % 8}" for i in range(10_000)],
+    "runs": [f"run{i // 512}" for i in range(10_000)],
+    "paths": [f"src/module{i % 40}/sub{i % 7}/file_{i % 100}.py" for i in range(5_000)],
+    "random_b64": ["".join(rng.choices("ABCDEFabcdef0123456789+/", k=80)) for _ in range(500)],
+    "empty_strings": ["", "", "x", ""],
+}
+
+
+@pytest.mark.parametrize("codec", STRING_CODECS)
+@pytest.mark.parametrize("name", list(BLOCKS))
+def test_string_roundtrip(codec, name):
+    _roundtrip(pd.Series(BLOCKS[name], dtype=object), codec)
+
+
+def test_hex_roundtrip():
+    vals = ["%040x" % rng.getrandbits(160) for _ in range(1000)] + ["", None, "00ff"]
+    buf = _roundtrip(pd.Series(vals, dtype=object), "hex")
+    # 40 hex chars -> 20 bytes: must be ~2x smaller than plain on random hex
+    plain = api.encode_block(pd.Series(vals, dtype=object), "plain")
+    assert len(buf) < len(plain)
+
+
+def test_hex_eligibility():
+    assert strings.hex_eligible(pd.Series(["00ff", "abcd"]))
+    assert not strings.hex_eligible(pd.Series(["0g"]))
+    assert not strings.hex_eligible(pd.Series(["abc"]))  # odd length
+    assert not strings.hex_eligible(pd.Series([None], dtype=object))
+
+
+def test_bitpack_roundtrip():
+    for width in [0, 1, 3, 7, 13, 33, 64]:
+        n = 257
+        vals = np.array([rng.getrandbits(width) for _ in range(n)], dtype=np.uint64)
+        out = blocks.bitunpack(blocks.bitpack(vals, width), n, width)
+        assert np.array_equal(vals, out)
+
+
+def test_pack_ints_negative_and_monotonic():
+    for arr in [
+        np.array([], dtype=np.int64),
+        np.array([-5, -1, 0, 3], dtype=np.int64),
+        np.arange(10_000, dtype=np.int64) * 7 + 3,
+        np.array([2**62, -(2**62)], dtype=np.int64),
+    ]:
+        meta, pay = pack_ints(arr)
+        assert np.array_equal(unpack_ints(meta, pay), arr)
+    # near-monotonic ints pack far below 8 bytes/value
+    meta, pay = pack_ints(np.arange(10_000, dtype=np.int64) + 10**12)
+    assert len(pay) < 10_000 * 3
+
+
+def test_fsst_bytes_roundtrip():
+    data = b"src/main/app.py src/main/util.py src/test/test_app.py " * 200
+    syms = fsst.train(data)
+    codes = fsst.compress_bytes(data, syms)
+    assert fsst.decompress_bytes(codes, syms) == data
+    assert len(codes) < len(data) / 2
+
+
+def test_fsst_escape_heavy():
+    data = bytes(range(256)) * 4 + b"\xff\xff\xff" + b"ab" * 50
+    syms = fsst.train(data)
+    codes = fsst.compress_bytes(data, syms)
+    assert fsst.decompress_bytes(codes, syms) == data
+
+
+def test_fsst_empty_table():
+    data = b"\xff\x00\xffabc"
+    codes = fsst.compress_bytes(data, [])
+    assert fsst.decompress_bytes(codes, []) == data
+
+
+def test_dict_beats_plain_on_low_card():
+    s = pd.Series([f"language_{i % 8}" for i in range(10_000)], dtype=object)
+    assert len(api.encode_block(s, "dict")) < len(api.encode_block(s, "plain"))
+
+
+def test_rle_beats_dict_on_runs():
+    s = pd.Series([f"val{i // 512}" for i in range(10_000)], dtype=object)
+    assert len(api.encode_block(s, "rle")) < len(api.encode_block(s, "dict"))
+
+
+class TestSelector:
+    def test_low_card_picks_dict_or_rle(self):
+        s = pd.Series([f"some/longer/language_name_{i % 8}" for i in range(10_000)], dtype=object)
+        codec, _ = selector.select_codec(s)
+        assert codec in ("dict", "rle", "fsst")
+
+    def test_selector_near_optimal(self):
+        # contract: the pick lands within 15% of the true min-size codec
+        cases = [
+            pd.Series(["a"] * 5000 + ["b"] * 5000, dtype=object),
+            pd.Series([f"some/longer/language_name_{i % 8}" for i in range(10_000)], dtype=object),
+            pd.Series([f"run_value_{i // 512}" for i in range(10_000)], dtype=object),
+        ]
+        for s in cases:
+            codec, _ = selector.select_codec(s)
+            actual = {c: len(api.encode_block(s, c)) for c in ("plain", "dict", "rle", "fsst")}
+            best = min(actual.values())
+            assert actual[codec] <= best * 1.15, (codec, actual)
+
+    def test_hex_picks_hex(self):
+        s = pd.Series(["%040x" % rng.getrandbits(160) for _ in range(2000)], dtype=object)
+        codec, _ = selector.select_codec(s)
+        assert codec == "hex"
+
+    def test_random_falls_back(self):
+        s = pd.Series(
+            ["".join(rng.choices("abcdefghijklmnopqrstuvwxyz0123456789+/=ABCDEF", k=60))
+             for _ in range(2000)], dtype=object)
+        codec, _ = selector.select_codec(s)
+        # whatever wins must not inflate vs plain beyond header overhead
+        win = len(api.encode_block(s, codec))
+        plain = len(api.encode_block(s, "plain"))
+        assert win <= plain * 1.05
+
+    def test_stats_fields(self):
+        s = pd.Series(["a", "a", "b", None], dtype=object)
+        st = selector.column_stats(s)
+        assert 0 < st["distinct_ratio"] <= 1
+        assert st["mean_run"] >= 1
+
+
+class TestChain:
+    def _mk(self, groups):
+        contents, sizes = [], []
+        for g in groups:
+            contents.extend(g)
+            sizes.append(len(g))
+        return pd.Series(contents, dtype=object), np.array(sizes)
+
+    def _roundtrip(self, groups, k=4):
+        s, sizes = self._mk(groups)
+        buf = chain.encode_chain(s, sizes, keyframe_interval=k)
+        out = chain.decode_chain(*_unframe(buf))
+        for a, b in zip(s.tolist(), out.tolist()):
+            assert (a is None and b is None) or a == b
+        return buf, s
+
+    def test_single_version(self):
+        self._roundtrip([["hello\nworld"]])
+
+    def test_edit_chain(self):
+        base = [f"line {i}" for i in range(100)]
+        versions = ["\n".join(base)]
+        lines = list(base)
+        for v in range(20):
+            lines[v * 3 % len(lines)] = f"edited {v}"
+            versions.append("\n".join(lines))
+        buf, s = self._roundtrip([versions])
+        # chain must beat storing every version plain
+        plain = api.encode_block(s, "plain")
+        assert len(buf) < len(plain)
+
+    def test_appends_and_truncates(self):
+        v0 = "a\nb\nc"
+        self._roundtrip([[v0, v0 + "\nd\ne", "a\nb", "", "a\nb\nc\nd"]])
+
+    def test_null_transitions_exact(self):
+        # the OptionDelta Some->None wart (main.rs:14-22): we must be exact
+        self._roundtrip([["text", None, "text2", None, None, "x"]])
+
+    def test_identical_commits_noop_delta(self):
+        v = "same\ncontent"
+        buf, _ = self._roundtrip([[v, v, v, v]])
+
+    def test_crlf_and_unicode(self):
+        self._roundtrip([["a\r\nb\r\n", "a\r\nB\r\n", "日本\n🎉", "日本\n🎊"]])
+
+    def test_empty_then_grows(self):
+        self._roundtrip([["x\ny", "", "x\ny\nz"]])
+
+    def test_multiple_groups(self):
+        g1 = ["a\nb", "a\nc", "a\nc\nd"]
+        g2 = ["1\n2\n3", "1\n2"]
+        self._roundtrip([g1, g2, ["solo"]])
+
+    def test_long_chain_keyframes(self):
+        lines = [f"l{i}" for i in range(50)]
+        versions = []
+        for v in range(64):
+            lines[v % 50] = f"v{v}"
+            versions.append("\n".join(lines))
+        self._roundtrip([versions], k=16)
+
+
+def _unframe(buf):
+    _, meta, payload = blocks.unframe(buf)
+    return meta, payload
