@@ -1,0 +1,68 @@
+"""Skew-aware deterministic partition assignment.
+
+north_rule: "skewed giant repos are salted and range-partitioned
+explicitly".  A giant repo (rows above the per-partition target) is
+split into ``ceil(rows / target)`` salt buckets keyed by
+``xxhash64(path)`` — salting by *path*, never by commit, so every
+``(repo, path)`` commit chain stays whole inside one partition (the
+CHAIN codec needs complete chains; cf. SURVEY.md §7 hard-part (c)).
+Small repos hash into a shared bucket range.
+
+Partition ids are *content-deterministic* (derived from repo names and
+row counts, not from cluster size or scheduling), so a resumed run
+reproduces the identical partition -> rows mapping — the analog of the
+reference's snapshot-head determinism
+(/root/reference/deltoid/src/snapshot/delta.rs:89-95).
+
+Scale note (100 TB / 10^12 files): the per-repo count aggregate is one
+map-side-combined shuffle over (repo) — output rows == number of
+repos.  Only repos *above threshold* are collected to the driver
+(bounded: at most total_rows/target of them); everything else flows
+through a broadcast-joined map, so no driver-side iteration over data.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_TARGET_ROWS = 20_000
+
+
+def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> tuple[DataFrame, int]:
+    """Add a deterministic ``part_id`` column; return (df, n_partitions)."""
+    counts = df.groupBy("repo").agg(F.count("*").alias("n"))
+    giants = [
+        (r["repo"], int(r["n"]))
+        for r in counts.filter(F.col("n") > target_rows).collect()
+    ]
+    giants.sort()  # deterministic base-id assignment
+    base = 0
+    salt_map: list[tuple[str, int, int]] = []  # repo, base_id, n_salts
+    for repo, n in giants:
+        n_salts = math.ceil(n / target_rows)
+        salt_map.append((repo, base, n_salts))
+        base += n_salts
+
+    small_rows = df.sparkSession.createDataFrame(
+        [(r, b, s) for r, b, s in salt_map], "repo string, base_id long, n_salts long"
+    )
+    # how many buckets for the long tail of small repos
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    giant_total = sum(n for _, n in giants)
+    n_small = max(1, math.ceil((total - giant_total) / target_rows))
+
+    out = (
+        df.join(F.broadcast(small_rows), "repo", "left")
+        .withColumn(
+            "part_id",
+            F.when(
+                F.col("base_id").isNotNull(),
+                F.col("base_id") + F.pmod(F.xxhash64("path"), F.col("n_salts")),
+            ).otherwise(F.lit(base) + F.pmod(F.xxhash64("repo"), F.lit(n_small))),
+        )
+        .drop("base_id", "n_salts")
+    )
+    return out, base + n_small

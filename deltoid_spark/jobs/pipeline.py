@@ -1,0 +1,227 @@
+"""The three job entry points (SURVEY.md §3.2):
+
+J1 ``encode``  — table -> compressed blocks + manifest + metrics
+J2 ``decode``  — blocks -> table' (bit-identical)
+J3 ``verify``  — sha256-parity audit of table vs table'
+
+Dataflow (J1): read parquet -> skew-aware deterministic ``part_id``
+(partitioning.py) -> **one planned shuffle** (``groupBy(part_id)``)
+-> ``applyInPandas`` encode kernel (executor-local numpy; whole
+partition visible so (repo, path) chains are complete) -> blocks
+parquet + manifest parquet.
+
+Resume (north_rule "resumable from checkpoint"): the manifest is the
+source of truth.  A re-run recomputes part_ids (deterministic),
+anti-joins the committed set, and encodes only the remainder; decode
+reads only manifest-committed partitions and drops duplicate block
+rows from torn writes (re-encoded blocks are byte-identical, so any
+surviving duplicate is harmless).  This mirrors the reference's
+``DeltaSnapshots.current`` head tracking
+(/root/reference/deltoid/src/snapshot/delta.rs:81-125).
+
+Zero per-row Python: the only JVM<->Python boundary is Arrow batches
+into the two kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import api, chain as chain_kernel, selector
+from .partitioning import DEFAULT_TARGET_ROWS, assign_partitions
+
+COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+BLOCK_SCHEMA = (
+    "part_id long, column string, codec string, payload binary, "
+    "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double"
+)
+
+ROW_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+# ------------------------------------------------------------- J1 encode ----
+
+
+def _group_sizes(keys: pd.Series) -> np.ndarray:
+    arr = keys.to_numpy(dtype=object)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], arr[1:] != arr[:-1])))
+    return np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+
+
+def _utf8_bytes(s: pd.Series) -> int:
+    if s.empty:
+        return 0
+    return int(s.dropna().str.encode("utf-8").str.len().sum())
+
+
+def make_encode_kernel(keyframe_interval: int = 16, level: int = 3):
+    def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        part_id = int(pdf["part_id"].iloc[0])
+        pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
+        out = []
+        gsizes = _group_sizes(pdf["repo"] + "\x00" + pdf["path"])
+        for col in COLUMNS:
+            s = pdf[col]
+            raw = _utf8_bytes(s)
+            if col == "content" and len(gsizes) < len(s):
+                codec = "chain"
+                buf = chain_kernel.encode_chain(
+                    s, gsizes, keyframe_interval=keyframe_interval, level=level
+                )
+            else:
+                codec, _stats = selector.select_codec(s)
+                buf = api.encode_block(s, codec)
+            sha = api.sha256_column(s) if col == "content" else None
+            out.append(
+                (part_id, col, codec, buf, len(s), raw, len(buf), sha, time.time() - t0)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "part_id", "column", "codec", "payload",
+                "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s",
+            ],
+        )
+
+    return encode_partition
+
+
+def encode(
+    spark: SparkSession,
+    source: DataFrame | str,
+    out_dir: str,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    keyframe_interval: int = 16,
+    resume: bool = True,
+) -> DataFrame:
+    """Run J1; returns the manifest DataFrame for this run."""
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    df, n_parts = assign_partitions(df.select(*COLUMNS), target_rows)
+
+    blocks_path = os.path.join(out_dir, "blocks")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    if resume and _exists(spark, manifest_path):
+        committed = spark.read.parquet(manifest_path).select("part_id").distinct()
+        df = df.join(F.broadcast(committed), "part_id", "left_anti")
+
+    kernel = make_encode_kernel(keyframe_interval)
+    blocks = df.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+    blocks.write.mode("append").parquet(blocks_path)
+
+    # manifest from the (tiny) written blocks table: one more scan of
+    # metadata-sized data, no re-encode
+    # after a resume, re-encoded partitions appear twice in blocks —
+    # deterministic encoding makes the copies identical, keep one
+    written = spark.read.parquet(blocks_path).dropDuplicates(["part_id", "column"])
+    manifest = (
+        written.groupBy("part_id")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.to_json(
+                F.map_from_entries(F.collect_list(F.struct("column", "codec")))
+            ).alias("codecs"),
+            F.max("sha256").alias("content_sha256"),
+            F.max("wall_s").alias("wall_s"),
+            F.lit("committed").alias("status"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+# ------------------------------------------------------------- J2 decode ----
+
+
+def _decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    # torn-write dedupe: deterministic blocks make duplicates identical
+    pdf = pdf.drop_duplicates(subset=["part_id", "column"])
+    cols = {}
+    for _, row in pdf.iterrows():
+        cols[row["column"]] = api.decode_block(bytes(row["payload"]))
+    n = len(cols["repo"])
+    return pd.DataFrame({c: cols[c].reset_index(drop=True) for c in COLUMNS}, index=range(n))
+
+
+def decode(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Run J2: reconstruct the original rows from blocks."""
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    committed = (
+        spark.read.parquet(os.path.join(out_dir, "manifest"))
+        .filter(F.col("status") == "committed")
+        .select("part_id")
+    )
+    blocks = blocks.join(F.broadcast(committed), "part_id", "left_semi")
+    return blocks.groupBy("part_id").applyInPandas(_decode_partition, ROW_SCHEMA)
+
+
+# ------------------------------------------------------------- J3 verify ----
+
+
+def verify(spark: SparkSession, original: DataFrame, decoded: DataFrame) -> dict:
+    """sha256-parity audit per row (BASELINE.json per-row invariant).
+
+    Joins on (repo, path, commit) and compares sha2(content) both
+    sides; also checks no rows were lost or invented.
+    """
+    def prep(df, tag):
+        return df.select(
+            "repo", "path", "commit",
+            F.sha2(F.coalesce(F.col("content"), F.lit("\x00NULL")), 256).alias(f"sha_{tag}"),
+        )
+
+    j = prep(original, "a").join(prep(decoded, "b"), ["repo", "path", "commit"], "full")
+    agg = j.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("sha_a").isNull() | F.col("sha_b").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("sha_a") != F.col("sha_b"), 1).otherwise(0)).alias("mismatched"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "missing": int(agg["missing"] or 0),
+        "mismatched": int(agg["mismatched"] or 0),
+        "ok": (agg["missing"] or 0) == 0 and (agg["mismatched"] or 0) == 0,
+    }
+
+
+# ---------------------------------------------------------------- metrics ----
+
+
+def metrics_summary(manifest: DataFrame) -> dict:
+    row = manifest.agg(
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+        F.sum("n_rows").alias("rows"),
+        F.count("*").alias("partitions"),
+    ).collect()[0]
+    raw, enc = int(row["raw"] or 0), int(row["enc"] or 0)
+    return {
+        "rows": int(row["rows"] or 0),
+        "partitions": int(row["partitions"] or 0),
+        "raw_bytes": raw,
+        "enc_bytes": enc,
+        "ratio": enc / raw if raw else None,
+    }

@@ -172,11 +172,12 @@ def encode_hex(series: pd.Series) -> bytes:
     mask, vals = _prep(series)
     joined = "".join(vals.tolist())
     packed = bytes.fromhex(joined)  # single C call
+    comp = blocks.compress(packed)  # structured hex (shared prefixes) compresses further
     half = (vals.str.len().to_numpy(dtype=np.int64) // 2) if len(vals) else np.zeros(0, np.int64)
     lmeta, lpay = pack_ints(half)
-    meta = {"n": len(series), "lens": lmeta, "lplen": len(lpay)}
+    meta = {"n": len(series), "lens": lmeta, "lplen": len(lpay), "raw": len(packed)}
     mb = _mask_meta(meta, mask)
-    return blocks.frame("hex", meta, mb + lpay + packed)
+    return blocks.frame("hex", meta, mb + lpay + comp)
 
 
 def decode_hex(meta: dict, payload: bytes) -> pd.Series:
@@ -184,7 +185,7 @@ def decode_hex(meta: dict, payload: bytes) -> pd.Series:
     mask, payload = _apply_mask(meta, payload, n)
     lplen = meta["lplen"]
     half = unpack_ints(meta["lens"], payload[:lplen])
-    hexstr = payload[lplen:].hex()  # single C call
+    hexstr = blocks.decompress(payload[lplen:], meta["raw"]).hex()  # single C call
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(half * 2, out=offs[1:])
     out = [hexstr[offs[i] : offs[i + 1]] for i in range(n)]

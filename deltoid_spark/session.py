@@ -1,0 +1,65 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the deltoid_spark package for shipping to executors.
+
+    This is the same artifact a cluster run passes to
+    ``spark-submit --py-files``; locally we ``addPyFile`` it so Python
+    workers can unpickle the kernels regardless of their cwd.
+    """
+    import deltoid_spark
+
+    pkg_dir = os.path.dirname(deltoid_spark.__file__)
+    out = os.path.join(tempfile.gettempdir(), "deltoid_spark_pkg.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "deltoid_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    cores: int | None = None,
+    app: str = "deltoid-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """local[N] session tuned for the codec engine.
+
+    On a real cluster the same settings ship via spark-submit --conf;
+    nothing here is local-mode-specific except the master URL.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or None
+    master = f"local[{cores}]" if cores else "local[*]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        # AQE re-plans shuffles at runtime: coalesces small partitions and
+        # splits skewed ones — keep on for the verify joins and metrics aggs
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or (cores or 32)))
+        # Arrow is the only JVM<->Python boundary we allow (no per-row Python)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

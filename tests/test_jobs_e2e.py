@@ -1,0 +1,101 @@
+"""End-to-end J1 -> J2 -> J3 on the synthetic fixture (SURVEY.md §5.2).
+
+Gates: 100% sha256 parity, compressed size < reference-semantics
+encoder, resume-after-partial-manifest reproduces identical output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltoid_spark import reference_encoder as ref
+from deltoid_spark.fixtures import codegen
+from deltoid_spark.jobs import assign_partitions, decode, encode, metrics_summary, verify
+
+
+@pytest.fixture(scope="module")
+def tiny_pdf():
+    return codegen.generate(2_000)
+
+
+@pytest.fixture(scope="module")
+def tiny_df(spark, tiny_pdf):
+    return spark.createDataFrame(tiny_pdf)
+
+
+def test_partition_assignment_deterministic_and_chain_safe(spark, tiny_df):
+    df1, n1 = assign_partitions(tiny_df, target_rows=500)
+    df2, n2 = assign_partitions(tiny_df, target_rows=500)
+    assert n1 == n2
+    a = {(r["repo"], r["path"], r["commit"]): r["part_id"] for r in df1.collect()}
+    b = {(r["repo"], r["path"], r["commit"]): r["part_id"] for r in df2.collect()}
+    assert a == b
+    # chain-safety: a (repo, path) group never spans two partitions
+    spans = (
+        df1.groupBy("repo", "path")
+        .agg(F.countDistinct("part_id").alias("np"))
+        .filter(F.col("np") > 1)
+        .count()
+    )
+    assert spans == 0
+    # the giant repo is split across several partitions (salting works)
+    giant = df1.filter(F.col("repo") == "org0/repo0")
+    assert giant.select("part_id").distinct().count() > 1
+
+
+def test_e2e_parity_and_size(spark, tiny_df, tiny_pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    manifest = encode(spark, tiny_df, out, target_rows=500)
+    summary = metrics_summary(manifest)
+    assert summary["rows"] == len(tiny_pdf)
+    assert summary["partitions"] > 1
+
+    decoded = decode(spark, out)
+    report = verify(spark, tiny_df, decoded)
+    assert report["ok"], report
+
+    ref_bytes = ref.reference_encoded_bytes(tiny_pdf)
+    assert summary["enc_bytes"] < ref_bytes, (summary["enc_bytes"], ref_bytes)
+    # and substantially so: chain+zstd should be way under full-replacement JSON
+    assert summary["enc_bytes"] < ref_bytes * 0.5
+
+
+def test_resume_after_partial_manifest(spark, tiny_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume"))
+    encode(spark, tiny_df, out, target_rows=500)
+    full = {
+        (r["repo"], r["path"], r["commit"]): r["content"]
+        for r in decode(spark, out).collect()
+    }
+
+    # simulate a crash: drop half the manifest rows (keep blocks: torn state)
+    mpath = os.path.join(out, "manifest")
+    m = spark.read.parquet(mpath).collect()
+    keep = [r for r in m if r["part_id"] % 2 == 0]
+    spark.createDataFrame(keep, spark.read.parquet(mpath).schema).write.mode(
+        "overwrite"
+    ).parquet(mpath)
+
+    manifest2 = encode(spark, tiny_df, out, target_rows=500)  # resume
+    assert manifest2.count() == len(m)  # all partitions committed again
+    resumed = {
+        (r["repo"], r["path"], r["commit"]): r["content"]
+        for r in decode(spark, out).collect()
+    }
+    assert resumed == full
+
+
+def test_codec_choices_recorded(spark, tiny_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("codecs"))
+    manifest = encode(spark, tiny_df, out, target_rows=500)
+    import json
+
+    codec_maps = [json.loads(r["codecs"]) for r in manifest.collect()]
+    assert all(set(c) == {"repo", "path", "commit", "lang", "content"} for c in codec_maps)
+    assert any(c["content"] == "chain" for c in codec_maps)
+    # hex and plain-zstd are near-equivalent on hex ids (zstd's entropy
+    # coder also packs nibbles); either is a legitimate min-size pick
+    assert all(c["commit"] in ("hex", "plain") for c in codec_maps)
