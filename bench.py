@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (1) the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and (2) the encode
+job at two parallelism levels (local[8] / local[32], fresh JVM each via
+subprocess) on the deterministic bench fixture, reporting throughput at
+both plus scaling efficiency (the sandbox stand-in for N vs 4N
+executors per BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total query secs>, "unit": "sec",
+   "queries": {...}, "sf": ..., "encode": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_run_lengths",
+    "q04_event_rank",
+    "q05_changed_flag",
+    "q06_keyed_diff",
+    "q08_for_bitwidth",
+    "q10_dedup_exact",
+    "q11_minhash_shingle",
+    "q12_token_stats",
+    "q13_lang_id",
+    "q15_ann_cosine_topk",
+    "q18_lsh_candidate_pairs",
+    "q19_simhash_buckets",
+]
+
+SCALING_CORES = (8, 32)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries() -> dict[str, float]:
+    from deltoid_spark.queries import queries
+    from deltoid_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, app="bench-queries", shuffle_partitions=CPUS)
+    catalog = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(catalog[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def run_encode_scaling() -> dict:
+    results = {}
+    for cores in SCALING_CORES:
+        proc = subprocess.run(
+            [sys.executable, "-m", "deltoid_spark.bench_encode", "--cores", str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        results[f"local{cores}"] = json.loads(line)
+    lo, hi = (results[f"local{c}"] for c in SCALING_CORES)
+    factor = SCALING_CORES[1] / SCALING_CORES[0]
+    eff = hi["gbps"] / (factor * lo["gbps"]) if lo.get("gbps") else None
+    return {
+        **results,
+        "scaling_efficiency": round(eff, 3) if eff else None,
+        "ratio": hi.get("ratio"),
+    }
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    queries_t = run_queries()
+    encode = run_encode_scaling()
+    total = round(sum(queries_t.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite seconds + encode GB/s at two parallelism levels",
+                "value": total,
+                "unit": "sec",
+                "queries": queries_t,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "encode": encode,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

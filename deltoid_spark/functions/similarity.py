@@ -1,0 +1,105 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+variant is the 100 TB scale path (candidate set shrinks by the bucket
+factor; the per-bucket scan is embarrassingly parallel and the query
+vector broadcasts).  All arithmetic is promoted to double before any
+product so results are engine-portable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact cosine top-k vs one stored vector (broadcast, no shuffle of
+    the big side; the global top-k is a TakeOrdered, not a full sort)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Sign-LSH: bucket = sign bits against n fixed pseudo-random planes.
+
+    Planes are derived deterministically from (seed, plane, dim) via a
+    hash -> uniform in [-1, 1]; no RNG state, so a re-run or another
+    engine reproduces the same buckets.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    planes = []
+    for p in range(n_planes):
+        # pseudo-random coefficient per (plane, dim): xxhash64 -> [-1, 1]
+        coeff = lambda d, p=p: (  # noqa: E731
+            (F.xxhash64(d, F.lit(p), F.lit(seed)) % 20001) / 10000.0
+        )
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.transform(dim_idx, coeff),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        planes.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    bucket = planes[0]
+    for p in planes[1:]:
+        bucket = bucket + p
+    return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+
+
+def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 6) -> DataFrame:
+    """ANN top-k: search only the query's LSH bucket (scale path).
+
+    Recall < 1 by construction; at 100 TB you'd multi-probe neighboring
+    buckets.  Returned schema matches brute_force_topk for comparison.
+    """
+    bucketed = random_hyperplane_buckets(emb, n_planes)
+    qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        bucketed.join(F.broadcast(qrow), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis: token stats, quality scoring, language-ID, fingerprints.
+
+Pure built-in-function expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path.  Every expression is written to evaluate
+identically in Spark SQL and DuckDB (the oracle): no backslash regex
+classes (escaping rules differ), integer outputs where float summation
+order could differ.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def n_tokens(col: str = "text") -> Column:
+    """Whitespace token count via the replace trick (engine-portable):
+    collapse each non-space run to one char, drop spaces, take length."""
+    return F.length(
+        F.regexp_replace(F.regexp_replace(F.col(col), "[^ ]+", "x"), " ", "")
+    )
+
+
+def occurrences(col: str, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal (replace-diff trick)."""
+    return (
+        (F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), _lit_rx(needle), "")))
+        / len(needle)
+    ).cast("long")
+
+
+def _lit_rx(s: str) -> str:
+    """Escape a literal for use in a regex (portable subset)."""
+    out = []
+    for ch in s:
+        if ch in ".^$*+?()[]{}|":
+            out.append("[" + ch + "]")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+STOPWORDS = {"en": " the ", "fr": " le ", "de": " der ", "es": " el ", "zh": "的"}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus stats (length + token counts, all integers)."""
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens().alias("n_toks"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: stopword occurrence votes -> confusion matrix
+    against the labeled ``lang`` column."""
+    c = docs
+    for lang, sw in STOPWORDS.items():
+        c = c.withColumn(f"c_{lang}", occurrences("text", sw))
+    guess = (
+        F.when(F.col("c_zh") > 0, "zh")
+        .when(
+            (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") > 0),
+            "en",
+        )
+        .when((F.col("c_fr") >= F.col("c_de")) & (F.col("c_fr") >= F.col("c_es")) & (F.col("c_fr") > 0), "fr")
+        .when((F.col("c_de") >= F.col("c_es")) & (F.col("c_de") > 0), "de")
+        .when(F.col("c_es") > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        c.select(guess.alias("guess"), F.col("lang").alias("actual"))
+        .groupBy("guess", "actual")
+        .agg(F.count("*").alias("n"))
+        .orderBy("guess", "actual")
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased, space-collapsed
+    text (the document-identity key for fuzzy-exact dedup)."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " ")))).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Integer quality facets per doc: length, tokens, mean token length
+    (x100, integer), stopword hits.  Integer outputs keep the DuckDB
+    cross-check exact."""
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens().alias("n_toks"),
+        occurrences("text", " the ").alias("en_stop_hits"),
+    )
+    return t.select(
+        "doc_id", "n_chars", "n_toks",
+        F.floor((F.col("n_chars") * 100) / F.greatest(F.col("n_toks"), F.lit(1)))
+        .cast("long").alias("chars_per_token_x100"),
+        "en_stop_hits",
+    ).orderBy("doc_id")

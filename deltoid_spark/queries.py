@@ -1,0 +1,391 @@
+"""Driver-contract query catalog.
+
+Each entry pairs a Spark implementation with (where SQL-expressible)
+an ANSI-SQL oracle that DuckDB runs on the same parquet tables.  Where
+the two dialects agree we execute the *same SQL text* on both engines
+(guaranteed semantic parity); otherwise the Spark side uses the
+DataFrame API and the oracle is written separately.
+
+Design rules for exact cross-engine value-hash equality:
+* integer outputs wherever float summation order could differ
+  (money as round(x*100) cents, ratios as x100 integers);
+* doubles only where both engines do the identical sequential
+  arithmetic, rounded before output (cosine similarity);
+* every computed column aliased identically on both sides;
+* deterministic total order for LIMIT queries (tie-break on a key).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import dedup, multimodal, similarity, text
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _register(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _shared_sql(names: list[str], sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    """A query whose SQL text runs verbatim on both Spark and DuckDB."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, names)
+        return spark.sql(sql)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): partial-aggregated groupBy; money
+# in integer cents so both engines sum exactly.
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT))                                    AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)  AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*)                                                           AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# Q2 — column cardinality stats (the codec selector's DICT signal).
+_Q2_SQL = """
+SELECT COUNT(DISTINCT l_returnflag)  AS returnflag_card,
+       COUNT(DISTINCT l_linestatus)  AS linestatus_card,
+       COUNT(DISTINCT l_partkey)     AS partkey_card,
+       COUNT(*)                      AS n_rows
+FROM lineitem
+"""
+
+# Q3 — run-length profile of a sorted column (the RLE codec signal;
+# run coalescing per /root/reference/deltoid/src/vec.rs:61-64).
+# Global-order window: fine for a stats query at sample SF; at 100 TB
+# this runs per partition range (the encode job computes it in-kernel).
+_Q3_SQL = """
+WITH seq AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS value,
+         CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber)
+                   IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS chg
+  FROM lineitem),
+runs AS (
+  SELECT value,
+         SUM(chg) OVER (ORDER BY l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq),
+rl AS (SELECT value, run_id, COUNT(*) AS run_len FROM runs GROUP BY value, run_id)
+SELECT value, COUNT(*) AS n_runs, SUM(run_len) AS total_rows, MAX(run_len) AS max_run
+FROM rl GROUP BY value ORDER BY value
+"""
+
+# Q4 — commit-chain linearization analog: dense_rank per user over time
+# (the rank that orders (repo, path) chains in the encode job).
+_Q4_SQL = """
+SELECT user_id, event_id,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+FROM events
+"""
+
+# Q5 — change-flag (A1 primitive delta: value vs lag(value)).
+_Q5_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN prev IS NULL OR prev <> value THEN 1 ELSE 0 END) AS n_changes
+FROM seq GROUP BY user_id ORDER BY user_id
+"""
+
+# Q6 — keyed diff (A7: HashMap delta as full-outer join, Add/Remove/Edit).
+_Q6_SQL = """
+WITH old AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders
+             WHERE o_orderdate < TIMESTAMP '1998-04-25' GROUP BY o_custkey),
+new AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-04-25' GROUP BY o_custkey)
+SELECT CASE WHEN old.key IS NULL THEN 'add'
+            WHEN new.key IS NULL THEN 'remove'
+            WHEN old.n <> new.n THEN 'edit' ELSE 'same' END AS change,
+       COUNT(*) AS n_keys
+FROM old FULL JOIN new ON old.key = new.key
+GROUP BY 1 ORDER BY 1
+"""
+
+# Q7 — set diff (A9: HashSet delta, rhs-lhs additions as EXCEPT).
+_Q7_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-04-25'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-04-25'
+ORDER BY o_custkey
+"""
+
+# Q8 — frame-of-reference zone map: per-bucket min/max/bit-width
+# (exactly what the FOR codec stores per block).
+_Q8_SQL = """
+WITH b AS (SELECT CAST(FLOOR(l_orderkey / 1024) AS BIGINT) AS bucket, l_orderkey
+           FROM lineitem)
+SELECT bucket, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+       CASE WHEN MAX(l_orderkey) = MIN(l_orderkey) THEN 0
+            ELSE CAST(FLOOR(LOG2(CAST(MAX(l_orderkey) - MIN(l_orderkey) AS DOUBLE))) + 1 AS BIGINT)
+       END AS bit_width
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+# Q9 — top-k with deterministic tie-break (TakeOrdered, no full sort).
+_Q9_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+# Q10 — exact dedup fingerprint map.
+_Q10_SQL = """
+SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM documents GROUP BY md5(text) ORDER BY fp
+"""
+
+
+# --- queries whose dialects diverge: Spark (DataFrame API) + DuckDB SQL ---
+
+def _q11_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = (
+        dedup.char_shingles(docs, 16)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("g")).alias("sig"))
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .orderBy("sig")
+    )
+
+
+_Q11_ORACLE = """
+WITH g AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 16)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(1, length(text) - 15))) AS i
+        FROM documents)),
+sigs AS (SELECT doc_id, MIN(h) AS sig FROM g GROUP BY doc_id)
+SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM sigs GROUP BY sig ORDER BY sig
+"""
+
+
+def _q12_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load(spark, sf_dir, "documents"))
+
+
+_Q12_ORACLE = """
+WITH t AS (
+  SELECT lang, LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(regexp_replace(text, '[^ ]+', 'x', 'g'), ' ', '', 'g')) AS n_toks
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(n_toks) AS total_tokens, MAX(n_toks) AS max_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def _q13_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load(spark, sf_dir, "documents"))
+
+
+_Q13_ORACLE = """
+WITH c AS (
+  SELECT lang,
+         CAST((LENGTH(text) - LENGTH(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+         CAST((LENGTH(text) - LENGTH(replace(text, ' le ', ''))) / 4 AS BIGINT)  AS c_fr,
+         CAST((LENGTH(text) - LENGTH(replace(text, ' der ', ''))) / 5 AS BIGINT) AS c_de,
+         CAST((LENGTH(text) - LENGTH(replace(text, ' el ', ''))) / 4 AS BIGINT)  AS c_es,
+         CAST(LENGTH(text) - LENGTH(replace(text, '的', '')) AS BIGINT)          AS c_zh
+  FROM documents)
+SELECT CASE WHEN c_zh > 0 THEN 'zh'
+            WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es AND c_en > 0 THEN 'en'
+            WHEN c_fr >= c_de AND c_fr >= c_es AND c_fr > 0 THEN 'fr'
+            WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+            WHEN c_es > 0 THEN 'es'
+            ELSE 'unknown' END AS guess,
+       lang AS actual, COUNT(*) AS n
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q14_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load(spark, sf_dir, "documents"))
+
+
+_Q14_ORACLE = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q15_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
+
+
+_Q15_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 1
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _q16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min(F.size("embedding")).alias("dim"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q16_ORACLE = """
+SELECT label, COUNT(*) AS n_vecs, MIN(len(embedding)) AS dim, MIN(vec_id) AS first_vec
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def _q17_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load(spark, sf_dir, "documents"))
+
+
+_Q17_ORACLE = """
+WITH t AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(regexp_replace(text, '[^ ]+', 'x', 'g'), ' ', '', 'g')) AS n_toks,
+         CAST((LENGTH(text) - LENGTH(replace(text, ' the ', ''))) / 5 AS BIGINT) AS en_stop_hits
+  FROM documents)
+SELECT doc_id, n_chars, n_toks,
+       CAST(FLOOR(n_chars * 100 / greatest(n_toks, 1)) AS BIGINT) AS chars_per_token_x100,
+       en_stop_hits
+FROM t ORDER BY doc_id
+"""
+
+
+# ----------------------- Spark-only (rows-check) entries -------------------
+
+def _q18_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_buckets(load(spark, sf_dir, "documents"), prefix_bits=12)
+
+
+def _q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
+
+
+def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full J1 on the synthetic code table; returns per-partition metrics."""
+    from .fixtures import codegen
+    from .jobs import encode
+
+    pdf = codegen.generate(2_000)
+    out = tempfile.mkdtemp(prefix="dsq21_")
+    manifest = encode(spark, spark.createDataFrame(pdf), out, target_rows=500)
+    return manifest.select(
+        "part_id", "n_rows", "raw_bytes", "enc_bytes", "codecs", "status"
+    ).orderBy("part_id")
+
+
+def _q22_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 -> J2 -> J3: single-row parity report (the round-trip law)."""
+    from .fixtures import codegen
+    from .jobs import decode, encode, verify
+
+    pdf = codegen.generate(2_000)
+    df = spark.createDataFrame(pdf)
+    out = tempfile.mkdtemp(prefix="dsq22_")
+    encode(spark, df, out, target_rows=500)
+    report = verify(spark, df, decode(spark, out))
+    return spark.createDataFrame(
+        [(report["rows"], report["missing"], report["mismatched"], report["ok"])],
+        "rows long, missing long, mismatched long, ok boolean",
+    )
+
+
+def _q23_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(spark, n=64)
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim")).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+
+_SHARED: dict[str, tuple[list[str], str]] = {
+    "q01_pricing_summary": (["lineitem"], _Q1_SQL),
+    "q02_column_cardinality": (["lineitem"], _Q2_SQL),
+    "q03_run_lengths": (["lineitem"], _Q3_SQL),
+    "q04_event_rank": (["events"], _Q4_SQL),
+    "q05_changed_flag": (["events"], _Q5_SQL),
+    "q06_keyed_diff": (["orders"], _Q6_SQL),
+    "q07_set_diff": (["orders"], _Q7_SQL),
+    "q08_for_bitwidth": (["lineitem"], _Q8_SQL),
+    "q09_topk_orders": (["orders"], _Q9_SQL),
+    "q10_dedup_exact": (["documents"], _Q10_SQL),
+}
+
+_SPLIT: dict[str, tuple[Callable, str]] = {
+    "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
+    "q12_token_stats": (_q12_spark, _Q12_ORACLE),
+    "q13_lang_id": (_q13_spark, _Q13_ORACLE),
+    "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
+    "q15_ann_cosine_topk": (_q15_spark, _Q15_ORACLE),
+    "q16_embedding_stats": (_q16_spark, _Q16_ORACLE),
+    "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
+}
+
+_SPARK_ONLY: dict[str, Callable] = {
+    "q18_lsh_candidate_pairs": _q18_lsh_pairs,
+    "q19_simhash_buckets": _q19_simhash_buckets,
+    "q20_ann_lsh_topk": _q20_ann_lsh,
+    "q21_encode_metrics": _q21_encode_metrics,
+    "q22_roundtrip_parity": _q22_roundtrip_parity,
+    "q23_media_features": _q23_media_features,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (tables, sql) in _SHARED.items():
+        out[name] = _shared_sql(tables, sql)
+    for name, (fn, _oracle) in _SPLIT.items():
+        out[name] = fn
+    out.update(_SPARK_ONLY)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {name: sql for name, (_tables, sql) in _SHARED.items()}
+    out.update({name: oracle for name, (_fn, oracle) in _SPLIT.items()})
+    return out
