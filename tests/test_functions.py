@@ -1,0 +1,97 @@
+"""Unit tests for the training-data ops (dedup / similarity / text /
+multimodal) against local ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deltoid_spark.functions import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en", "s0", 60),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 60),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en", "s2", 60),  # near dup
+        (3, "completely different text about compression engines and columnar codecs", "en", "s3", 71),
+        (4, "der schnelle braune fuchs springt wieder und wieder", "de", "s4", 51),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dupes(docs):
+    res = {r["fp"]: (r["n_copies"], r["keeper"]) for r in dedup.exact_dupes(docs).collect()}
+    assert len(res) == 4  # 5 docs, one exact pair
+    assert (2, 0) in res.values()
+
+
+def test_minhash_near_dups_collide_more(docs):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(dedup.N_MINHASH))
+            for r in dedup.minhash_signatures(docs).collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b]))  # noqa: E731
+    assert agree(0, 1) == dedup.N_MINHASH            # identical docs: all hashes equal
+    assert agree(0, 2) > agree(0, 3)                 # near dup >> unrelated
+
+
+def test_lsh_candidate_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(0, 1) == 0
+    assert ham(0, 2) < ham(0, 4)
+    # deterministic: matches the pure-python reference implementation
+    assert sh[0] == dedup._simhash64("the quick brown fox jumps over the lazy dog again and again")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    res = [(r["vec_id"], r["cos_sim"]) for r in similarity.brute_force_topk(emb, 1, k=5).collect()]
+
+    q = vecs[1].astype(np.float64)
+    sims = vecs.astype(np.float64) @ q / (np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-np.round(sims, 4), kind="stable") if i != 1][:5]
+    assert [v for v, _ in res] == [int(i) for i in order]
+    for v, c in res:
+        assert abs(c - round(float(sims[v]), 4)) < 1e-9
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    res = similarity.lsh_topk(emb, 3, k=5, n_planes=3).collect()
+    # candidates all share the query's bucket -> fewer or equal to k, sane sims
+    assert 0 < len(res) <= 5
+    assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in res)
+
+
+def test_media_features_stub(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    feats = multimodal.extract_features(media, decode_stub=True).collect()
+    assert len(feats) == 12
+    for r in feats:
+        v = np.array(r["feature"], dtype=np.float64)
+        assert len(v) == 8
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # unit vectors from the stub
+    # deterministic across runs
+    again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12)).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthesize_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=500).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    expected = sum(r["duration_ms"] // 500 + 1 for r in vids)
+    assert len(plan) == expected

@@ -1,0 +1,103 @@
+"""Property-based round-trip tests (FIXTURES.md F3).
+
+Mirrors the reference's quickcheck invariant
+``forall a b: b == a.apply(a.delta(&b))``
+(/root/reference/deltoid-quickcheck-tests/src/main.rs:13-33), including
+the value->null case the reference documents as ambiguous (main.rs:14-22)
+— we require exactness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deltoid_spark.kernels import api, blocks, chain
+from deltoid_spark.kernels.intcodec import pack_ints, unpack_ints
+
+# optional unicode-heavy text including control chars, newlines, emoji
+st_text = st.text(
+    alphabet=st.characters(codec="utf-8"),
+    max_size=200,
+)
+st_block = st.lists(st.one_of(st.none(), st_text), max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_block)
+def test_plain_dict_rle_roundtrip(vals):
+    s = pd.Series(vals, dtype=object)
+    for codec in ("plain", "dict", "rle"):
+        out = api.decode_block(api.encode_block(s, codec))
+        assert _eq(s, out), codec
+
+
+@settings(max_examples=30, deadline=None)
+@given(st_block)
+def test_fsst_roundtrip(vals):
+    s = pd.Series(vals, dtype=object)
+    out = api.decode_block(api.encode_block(s, "fsst"))
+    assert _eq(s, out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=100))
+def test_pack_ints_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    meta, pay = pack_ints(arr)
+    assert np.array_equal(unpack_ints(meta, pay), arr)
+
+
+st_lines = st.lists(st.text(alphabet=st.characters(exclude_characters="\n", codec="utf-8"), max_size=30), max_size=20)
+
+
+@st.composite
+def st_chain_group(draw):
+    """A commit chain: base lines + per-version edit scripts (mirrors
+    EltDelta::{Edit, Add, Remove}, /root/reference/deltoid/src/vec.rs:103-117)."""
+    lines = draw(st_lines)
+    versions = []
+    n_versions = draw(st.integers(1, 8))
+    for _ in range(n_versions):
+        op = draw(st.integers(0, 4))
+        if op == 0 and lines:  # edit
+            i = draw(st.integers(0, len(lines) - 1))
+            lines = [*lines]
+            lines[i] = draw(st.text(max_size=20))
+        elif op == 1:  # append
+            lines = [*lines, draw(st.text(max_size=20))]
+        elif op == 2 and lines:  # tail remove
+            lines = lines[: draw(st.integers(0, len(lines) - 1))]
+        elif op == 3:  # null state (file missing at this commit)
+            versions.append(None)
+            continue
+        versions.append("\n".join(lines))
+    return versions
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st_chain_group(), min_size=1, max_size=5), st.integers(1, 5))
+def test_chain_roundtrip(groups, k):
+    contents, sizes = [], []
+    for g in groups:
+        contents.extend(g)
+        sizes.append(len(g))
+    s = pd.Series(contents, dtype=object)
+    buf = chain.encode_chain(s, np.array(sizes), keyframe_interval=k)
+    _, meta, payload = blocks.unframe(buf)
+    out = chain.decode_chain(meta, payload)
+    assert _eq(s, out)
+
+
+def _eq(a: pd.Series, b: pd.Series) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            if not (y is None or (isinstance(y, float) and pd.isna(y))):
+                return False
+        elif x != y:
+            return False
+    return True
