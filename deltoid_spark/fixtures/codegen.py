@@ -161,7 +161,17 @@ def _edge_rows(rng: np.random.Generator) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
-def write_parquet(df: pd.DataFrame, path: str) -> str:
+def write_parquet(df: pd.DataFrame, path: str, n_shards: int = 32) -> str:
+    """Write as a directory of shard files so Spark's scan parallelizes
+    (a single parquet file = one input split = a serialized map side)."""
+    if os.path.isdir(path) or not path.endswith(".parquet") or n_shards > 1:
+        os.makedirs(path, exist_ok=True)
+        step = max(1, (len(df) + n_shards - 1) // n_shards)
+        for s, lo in enumerate(range(0, max(1, len(df)), step)):
+            df.iloc[lo : lo + step].to_parquet(
+                os.path.join(path, f"part-{s:05d}.parquet"), index=False
+            )
+        return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     df.to_parquet(path, index=False)
     return path
@@ -171,7 +181,7 @@ def fixture_path(name: str, base: str = "/root/repo/.fixtures") -> str:
     return os.path.join(base, f"code_files_{name}.parquet")
 
 
-SIZES = {"tiny": 2_000, "small": 60_000, "bench": 240_000}
+SIZES = {"tiny": 2_000, "small": 60_000, "bench": 960_000}
 
 
 def ensure_fixture(name: str = "small", base: str = "/root/repo/.fixtures") -> str:

@@ -33,7 +33,9 @@ DEFAULT_TARGET_ROWS = 20_000
 
 def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> tuple[DataFrame, int]:
     """Add a deterministic ``part_id`` column; return (df, n_partitions)."""
-    counts = df.groupBy("repo").agg(F.count("*").alias("n"))
+    # one aggregate over (repo): tiny output, cached so the giants filter
+    # and the global total reuse it instead of rescanning the input
+    counts = df.groupBy("repo").agg(F.count("*").alias("n")).cache()
     giants = [
         (r["repo"], int(r["n"]))
         for r in counts.filter(F.col("n") > target_rows).collect()
@@ -51,6 +53,7 @@ def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> 
     )
     # how many buckets for the long tail of small repos
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    counts.unpersist()
     giant_total = sum(n for _, n in giants)
     n_small = max(1, math.ceil((total - giant_total) / target_rows))
 

@@ -35,7 +35,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernels import api, chain as chain_kernel, selector
+from ..kernels import api, chain as chain_kernel, selector, strings
 from .partitioning import DEFAULT_TARGET_ROWS, assign_partitions
 
 COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -63,7 +63,8 @@ def _group_sizes(keys: pd.Series) -> np.ndarray:
 def _utf8_bytes(s: pd.Series) -> int:
     if s.empty:
         return 0
-    return int(s.dropna().str.encode("utf-8").str.len().sum())
+    lengths, _ = strings.utf8_view(s)
+    return int(lengths.sum())
 
 
 def make_encode_kernel(keyframe_interval: int = 16, level: int = 3):

@@ -20,15 +20,16 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from . import blocks
 from .intcodec import pack_ints, unpack_ints
-from .strings import _apply_mask, _mask_meta, _prep, _restore_nulls
+from .strings import _apply_mask, _mask_meta, _restore_nulls, utf8_view
 
 ESCAPE = 0xFF
 MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
 MAX_LEN = 8
-_SAMPLE_BYTES = 1 << 16
+_SAMPLE_BYTES = 1 << 14
 
 
 def train(data: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
@@ -37,9 +38,9 @@ def train(data: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     counts: Counter[bytes] = Counter()
     n = len(sample)
     for ln in range(2, MAX_LEN + 1):
-        step = 1 if ln <= 4 else 2  # thin out long-substring scan
+        step = 1 if ln <= 3 else ln - 2  # thin out long-substring scan
         for i in range(0, n - ln + 1, step):
-            counts[sample[i : i + ln]] += 1
+            counts[sample[i : i + ln]] += step  # scale to unbias thinning
     # gain = bytes saved; require a symbol to actually pay for itself
     multi = [
         (s, (len(s) - 1) * c)
@@ -153,10 +154,8 @@ def decompress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
 
 
 def encode_fsst(series: pd.Series, post_zstd: bool = True) -> bytes:
-    mask, vals = _prep(series)
-    enc = vals.str.encode("utf-8")
-    lengths = enc.str.len().to_numpy(dtype=np.int64) if len(enc) else np.zeros(0, np.int64)
-    data = b"".join(enc.tolist())
+    mask = series.isna().to_numpy()
+    lengths, data = utf8_view(series)
     symbols = train(data)
     codes = compress_bytes(data, symbols)
     payload_codes = blocks.compress(codes) if post_zstd else codes
@@ -191,5 +190,10 @@ def decode_fsst(meta: dict, payload: bytes) -> pd.Series:
     data = decompress_bytes(codes, symbols)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
-    out = [data[offs[i] : offs[i + 1]].decode("utf-8") for i in range(n)]
-    return _restore_nulls(out, mask)
+    arr = pa.Array.from_buffers(
+        pa.large_utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    out = arr.to_pandas().astype(object)
+    if mask is not None:
+        out[mask] = None
+    return out if n else pd.Series([], dtype=object)

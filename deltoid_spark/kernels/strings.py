@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from . import blocks
 from .intcodec import pack_ints, unpack_ints
@@ -57,13 +58,26 @@ def _restore_nulls(values: list | np.ndarray, mask: np.ndarray | None) -> pd.Ser
 
 
 # ---------------------------------------------------------------- PLAIN ----
+#
+# Hot path: the column's utf-8 bytes come straight from Arrow's
+# (offsets, data) buffers — no per-string Python encode or join.
+
+
+def utf8_view(series: pd.Series) -> tuple[np.ndarray, bytes]:
+    """(byte_lengths, concatenated utf-8 data) via Arrow buffers (C path)."""
+    arr = pa.Array.from_pandas(series, type=pa.large_utf8())
+    if len(arr) == 0:
+        return np.zeros(0, np.int64), b""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    lengths = np.diff(offs)
+    data = bufs[2].to_pybytes()[offs[0] : offs[-1]] if bufs[2] is not None else b""
+    return lengths, data
 
 
 def encode_plain(series: pd.Series, level: int = 3) -> bytes:
-    mask, vals = _prep(series)
-    enc = vals.str.encode("utf-8")
-    lengths = enc.str.len().to_numpy(dtype=np.int64) if len(enc) else np.zeros(0, np.int64)
-    data = b"".join(enc.tolist())
+    mask = series.isna().to_numpy()
+    lengths, data = utf8_view(series)
     lmeta, lpay = pack_ints(lengths)
     comp = blocks.compress(data, level)
     meta = {"n": len(series), "lens": lmeta, "lplen": len(lpay), "raw": len(data)}
@@ -79,13 +93,16 @@ def decode_plain(meta: dict, payload: bytes) -> pd.Series:
     data = blocks.decompress(payload[lplen:], meta["raw"])
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
-    text = data.decode("utf-8")
-    # byte offsets != char offsets for non-ascii; slice on bytes then decode
-    if len(text) == len(data):  # pure ascii fast path
-        out = [text[offs[i] : offs[i + 1]] for i in range(n)]
-    else:
-        out = [data[offs[i] : offs[i + 1]].decode("utf-8") for i in range(n)]
-    return _restore_nulls(out, mask)
+    # rebuild a LargeStringArray over the raw buffers; to_pandas is C-speed
+    arr = pa.Array.from_buffers(
+        pa.large_utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    out = arr.to_pandas().astype(object)
+    if mask is not None:
+        out[mask] = None
+    elif n == 0:
+        return pd.Series([], dtype=object)
+    return out
 
 
 # ----------------------------------------------------------------- DICT ----

@@ -36,11 +36,18 @@ def get_spark(
     cores: int | None = None,
     app: str = "deltoid-spark",
     shuffle_partitions: int | None = None,
+    aqe: bool = True,
 ) -> SparkSession:
     """local[N] session tuned for the codec engine.
 
     On a real cluster the same settings ship via spark-submit --conf;
     nothing here is local-mode-specific except the master URL.
+
+    ``aqe=False`` is for the encode job's throughput path: its one
+    shuffle has a known, deliberately chosen partition count
+    (deterministic part_ids), so AQE's runtime coalescing only removes
+    reduce-side parallelism there.  Keep AQE on (default) for joins,
+    verify, and ad-hoc queries where it earns its keep.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or None
@@ -48,9 +55,7 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
-        # AQE re-plans shuffles at runtime: coalesces small partitions and
-        # splits skewed ones — keep on for the verify joins and metrics aggs
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(bool(aqe)).lower())
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or (cores or 32)))
         # Arrow is the only JVM<->Python boundary we allow (no per-row Python)
