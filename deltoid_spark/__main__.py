@@ -1,0 +1,73 @@
+"""CLI for the engine's three jobs + bench.
+
+    python -m deltoid_spark encode --input <parquet> --out <dir> [--target-rows N]
+    python -m deltoid_spark decode --out <dir> --dest <parquet>
+    python -m deltoid_spark verify --input <parquet> --out <dir>
+    python -m deltoid_spark metrics --out <dir>
+
+On a cluster the same entry points run via
+``spark-submit --py-files deltoid_spark_pkg.zip`` with this module as
+the driver script (the package zips itself: deltoid_spark.session.package_zip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="deltoid_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="J1: table -> blocks + manifest")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--target-rows", type=int, default=20_000)
+    enc.add_argument("--keyframe-interval", type=int, default=16)
+    enc.add_argument("--no-resume", action="store_true")
+
+    dec = sub.add_parser("decode", help="J2: blocks -> table")
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--dest", required=True)
+
+    ver = sub.add_parser("verify", help="J3: sha256 parity audit")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--out", required=True)
+
+    met = sub.add_parser("metrics", help="print manifest summary")
+    met.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    from .jobs import decode, encode, metrics_summary, verify
+    from .session import get_spark
+
+    spark = get_spark(app=f"deltoid-{args.cmd}")
+    try:
+        if args.cmd == "encode":
+            manifest = encode(
+                spark, args.input, args.out,
+                target_rows=args.target_rows,
+                keyframe_interval=args.keyframe_interval,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(metrics_summary(manifest)))
+        elif args.cmd == "decode":
+            decode(spark, args.out).write.mode("overwrite").parquet(args.dest)
+            print(json.dumps({"written": args.dest}))
+        elif args.cmd == "verify":
+            report = verify(spark, spark.read.parquet(args.input), decode(spark, args.out))
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
+        elif args.cmd == "metrics":
+            manifest = spark.read.parquet(f"{args.out}/manifest")
+            print(json.dumps(metrics_summary(manifest)))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,17 @@ def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict
     agg = written.agg(
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
+
+    # decode throughput (output bytes reconstructed per second)
+    from .jobs.pipeline import ROW_SCHEMA, _decode_partition
+
+    t0 = time.time()
+    (
+        written.groupBy("part_id")
+        .applyInPandas(_decode_partition, ROW_SCHEMA)
+        .write.format("noop").mode("overwrite").save()
+    )
+    decode_wall = time.time() - t0
     spark.stop()
     for out in outs:
         shutil.rmtree(out, ignore_errors=True)
@@ -99,6 +110,8 @@ def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict
         "walls": [round(w, 2) for w in walls],
         "assign_s": round(t_assign, 2),
         "gbps": input_bytes / wall / 1e9,
+        "decode_wall_s": round(decode_wall, 2),
+        "decode_gbps": input_bytes / decode_wall / 1e9,
         "partitions": n_parts,
     }
 
