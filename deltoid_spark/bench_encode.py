@@ -19,7 +19,12 @@ import tempfile
 import time
 
 
-def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict:
+def run(
+    cores: int,
+    name: str = "bench",
+    target_rows: int | None = None,
+    mode: str = "grouped",
+) -> dict:
     from .fixtures import codegen
     from .jobs import encode, metrics_summary  # noqa: F401
     from .session import get_spark
@@ -58,25 +63,23 @@ def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict
     # assignment (one tiny aggregate) and manifest aggregation (rows ==
     # partition count) are O(metadata) bookkeeping, reported separately.
     from .jobs.partitioning import assign_partitions
-    from .jobs.pipeline import BLOCK_SCHEMA, make_encode_kernel
+    from .jobs.pipeline import BLOCK_SCHEMA, make_encode_kernel, make_fragment_kernel
 
     t_assign = time.time()
     dfp, n_parts = assign_partitions(df, target_rows)
     t_assign = time.time() - t_assign
 
-    kernel = make_encode_kernel()
+    if mode == "clustered":
+        encoded = dfp.mapInArrow(make_fragment_kernel(), BLOCK_SCHEMA)
+    else:
+        encoded = dfp.groupBy("part_id").applyInPandas(make_encode_kernel(), BLOCK_SCHEMA)
     walls = []
     outs = []
     for _attempt in range(3):  # best-of-N: JIT + page cache warm, env noise
         out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
         outs.append(out)
         t0 = time.time()
-        (
-            dfp.groupBy("part_id")
-            .applyInPandas(kernel, BLOCK_SCHEMA)
-            .write.mode("append")
-            .parquet(os.path.join(out, "blocks"))
-        )
+        encoded.write.mode("append").parquet(os.path.join(out, "blocks"))
         walls.append(time.time() - t0)
     wall = min(walls)
 
@@ -102,6 +105,7 @@ def run(cores: int, name: str = "bench", target_rows: int | None = None) -> dict
         shutil.rmtree(out, ignore_errors=True)
     return {
         "cores": cores,
+        "mode": mode,
         "rows": n_rows,
         "input_bytes": input_bytes,
         "enc_bytes": int(agg["enc"]),
@@ -121,6 +125,7 @@ if __name__ == "__main__":
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--name", default="bench")
     ap.add_argument("--target-rows", type=int, default=None)
+    ap.add_argument("--mode", default="grouped", choices=["grouped", "clustered"])
     args = ap.parse_args()
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-    print(json.dumps(run(args.cores, args.name, args.target_rows)))
+    print(json.dumps(run(args.cores, args.name, args.target_rows, args.mode)))

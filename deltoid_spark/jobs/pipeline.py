@@ -32,6 +32,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,7 +42,7 @@ from .partitioning import DEFAULT_TARGET_ROWS, assign_partitions
 COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 BLOCK_SCHEMA = (
-    "part_id long, column string, codec string, payload binary, "
+    "part_id long, frag_id long, column string, codec string, payload binary, "
     "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double"
 )
 
@@ -67,37 +68,93 @@ def _utf8_bytes(s: pd.Series) -> int:
     return int(lengths.sum())
 
 
+def _encode_rows(
+    pdf: pd.DataFrame, part_id: int, frag_id: int,
+    keyframe_interval: int, level: int, t0: float,
+) -> list[tuple]:
+    """Encode one sorted slice of rows into per-column block rows."""
+    out = []
+    gsizes = _group_sizes(pdf["repo"] + "\x00" + pdf["path"])
+    for col in COLUMNS:
+        s = pdf[col]
+        raw = _utf8_bytes(s)
+        if col == "content" and len(gsizes) < len(s):
+            codec = "chain"
+            buf = chain_kernel.encode_chain(
+                s, gsizes, keyframe_interval=keyframe_interval, level=level
+            )
+        else:
+            codec, _stats = selector.select_codec(s)
+            buf = api.encode_block(s, codec)
+        sha = api.sha256_column(s) if col == "content" else None
+        out.append(
+            (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
+             time.time() - t0)
+        )
+    return out
+
+
+_BLOCK_COLS = [
+    "part_id", "frag_id", "column", "codec", "payload",
+    "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s",
+]
+
+
 def make_encode_kernel(keyframe_interval: int = 16, level: int = 3):
     def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         part_id = int(pdf["part_id"].iloc[0])
         pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
-        out = []
-        gsizes = _group_sizes(pdf["repo"] + "\x00" + pdf["path"])
-        for col in COLUMNS:
-            s = pdf[col]
-            raw = _utf8_bytes(s)
-            if col == "content" and len(gsizes) < len(s):
-                codec = "chain"
-                buf = chain_kernel.encode_chain(
-                    s, gsizes, keyframe_interval=keyframe_interval, level=level
-                )
-            else:
-                codec, _stats = selector.select_codec(s)
-                buf = api.encode_block(s, codec)
-            sha = api.sha256_column(s) if col == "content" else None
-            out.append(
-                (part_id, col, codec, buf, len(s), raw, len(buf), sha, time.time() - t0)
-            )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "part_id", "column", "codec", "payload",
-                "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s",
-            ],
-        )
+        rows = _encode_rows(pdf, part_id, 0, keyframe_interval, level, t0)
+        return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return encode_partition
+
+
+def make_fragment_kernel(keyframe_interval: int = 16, level: int = 3):
+    """mapInArrow kernel for *clustered* mode: encode each input split
+    in place (no shuffle).  The split's rows are sorted and grouped by
+    part_id locally; each (part_id, split) slice becomes a block
+    *fragment*.  Chains crossing split boundaries simply start a new
+    keyframe — a bounded ratio cost, zero data movement.
+    """
+
+    def encode_split(batches):
+        from pyspark import TaskContext
+
+        frag_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+        tables = list(batches)
+        if not tables:
+            return
+        t0 = time.time()
+        pdf = pa.Table.from_batches(tables).to_pandas()
+        pdf = pdf.sort_values(
+            ["part_id", "repo", "path", "commit"], kind="mergesort"
+        ).reset_index(drop=True)
+        rows: list[tuple] = []
+        for part_id, sub in pdf.groupby("part_id", sort=True):
+            rows.extend(
+                _encode_rows(
+                    sub.reset_index(drop=True), int(part_id), frag_id,
+                    keyframe_interval, level, t0,
+                )
+            )
+        out = pd.DataFrame(rows, columns=_BLOCK_COLS)
+        yield pa.RecordBatch.from_pandas(out, schema=_block_arrow_schema())
+
+    return encode_split
+
+
+def _block_arrow_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("part_id", pa.int64()), ("frag_id", pa.int64()),
+            ("column", pa.string()), ("codec", pa.string()),
+            ("payload", pa.binary()), ("n_rows", pa.int64()),
+            ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+            ("sha256", pa.string()), ("wall_s", pa.float64()),
+        ]
+    )
 
 
 def encode(
@@ -107,8 +164,19 @@ def encode(
     target_rows: int = DEFAULT_TARGET_ROWS,
     keyframe_interval: int = 16,
     resume: bool = True,
+    mode: str = "grouped",
 ) -> DataFrame:
-    """Run J1; returns the manifest DataFrame for this run."""
+    """Run J1; returns the manifest DataFrame for this run.
+
+    mode="grouped" (default): one shuffle co-locates each part_id, so
+    every (repo, path) chain is delta-encoded whole, and resume works at
+    partition granularity.  mode="clustered": zero-shuffle map-side
+    encode for inputs already clustered by (repo, path) — e.g. re-encode
+    of previously written Iceberg state; each input split becomes block
+    fragments (chains crossing splits restart at a keyframe).  Shuffle
+    traffic drops from raw bytes to zero; use for ingest-bandwidth-bound
+    clusters.  Clustered mode resumes at whole-run granularity only.
+    """
     df = spark.read.parquet(source) if isinstance(source, str) else source
     df, n_parts = assign_partitions(df.select(*COLUMNS), target_rows)
 
@@ -120,22 +188,40 @@ def encode(
         df = df.join(F.broadcast(committed), "part_id", "left_anti")
 
     kernel = make_encode_kernel(keyframe_interval)
-    blocks = df.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+    if mode == "clustered":
+        blocks = df.mapInArrow(
+            make_fragment_kernel(keyframe_interval), BLOCK_SCHEMA
+        )
+    else:
+        blocks = df.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
     blocks.write.mode("append").parquet(blocks_path)
 
     # manifest from the (tiny) written blocks table: one more scan of
     # metadata-sized data, no re-encode
     # after a resume, re-encoded partitions appear twice in blocks —
     # deterministic encoding makes the copies identical, keep one
-    written = spark.read.parquet(blocks_path).dropDuplicates(["part_id", "column"])
+    written = spark.read.parquet(blocks_path).dropDuplicates(
+        ["part_id", "frag_id", "column"]
+    )
     manifest = (
         written.groupBy("part_id")
         .agg(
-            F.max("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("column") == "content", F.col("n_rows")).otherwise(0)
+            ).alias("n_rows"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.to_json(
-                F.map_from_entries(F.collect_list(F.struct("column", "codec")))
+                F.create_map(
+                    *[
+                        part
+                        for c in COLUMNS
+                        for part in (
+                            F.lit(c),
+                            F.min(F.when(F.col("column") == c, F.col("codec"))),
+                        )
+                    ]
+                )
             ).alias("codecs"),
             F.max("sha256").alias("content_sha256"),
             F.max("wall_s").alias("wall_s"),
@@ -158,13 +244,20 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 def _decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-    # torn-write dedupe: deterministic blocks make duplicates identical
-    pdf = pdf.drop_duplicates(subset=["part_id", "column"])
-    cols = {}
+    # torn-write dedupe: deterministic blocks make duplicates identical.
+    # fragments (clustered-mode encode) concatenate in frag_id order —
+    # every column of a fragment covers the same row slice, so per-column
+    # concatenation keeps rows aligned.
+    pdf = pdf.drop_duplicates(subset=["part_id", "frag_id", "column"]).sort_values(
+        ["frag_id", "column"], kind="mergesort"
+    )
+    cols: dict[str, list] = {c: [] for c in COLUMNS}
     for _, row in pdf.iterrows():
-        cols[row["column"]] = api.decode_block(bytes(row["payload"]))
-    n = len(cols["repo"])
-    return pd.DataFrame({c: cols[c].reset_index(drop=True) for c in COLUMNS}, index=range(n))
+        cols[row["column"]].append(api.decode_block(bytes(row["payload"])))
+    out = {c: pd.concat(cols[c], ignore_index=True) if cols[c] else pd.Series([], dtype=object)
+           for c in COLUMNS}
+    n = len(out["repo"])
+    return pd.DataFrame(out, index=range(n))
 
 
 def decode(spark: SparkSession, out_dir: str) -> DataFrame:
