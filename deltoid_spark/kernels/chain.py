@@ -55,6 +55,39 @@ def _line_delta(prev: list[str], new: list[str]) -> tuple[np.ndarray, list[str],
     return edit_idx.astype(np.int64), edit_lines, adds, remove
 
 
+def _splice_delta(prev: list[str], new: list[str]) -> tuple[int, int, list[str]]:
+    """Single-splice script: common prefix/suffix trim, middle replaced.
+
+    Engine upgrade over the reference's purely positional diff
+    (vec.rs:8-11 admits it's stack-like): a middle insert shifts every
+    later line, which positional diff encodes as edits-to-end-of-file;
+    the splice encodes just (start, n_deleted, inserted_lines).
+    Returns (start, del_count, ins_lines).
+    """
+    np_, nn = len(prev), len(new)
+    m = min(np_, nn)
+    if m:
+        a = np.array(prev[:m], dtype=object)
+        b = np.array(new[:m], dtype=object)
+        neq = a != b
+        p = int(np.argmax(neq)) if neq.any() else m
+    else:
+        p = 0
+    max_s = m - p
+    if max_s > 0:
+        a_s = np.array(prev[np_ - max_s :], dtype=object)
+        b_s = np.array(new[nn - max_s :], dtype=object)
+        eq_rev = (a_s == b_s)[::-1]
+        s = int(np.argmax(~eq_rev)) if (~eq_rev).any() else max_s
+    else:
+        s = 0
+    return p, np_ - p - s, new[p : nn - s]
+
+
+def _script_cost(n_lines_chars: int, n_ints: int) -> int:
+    return n_lines_chars + 8 * n_ints
+
+
 def encode_chain(
     contents: pd.Series,
     group_sizes: np.ndarray,
@@ -69,11 +102,15 @@ def encode_chain(
 
     is_key = np.zeros(n, dtype=bool)
     key_texts: list[str] = []
+    # per delta row: cnt1/cnt2/cnt3 are (edit_count, add_count,
+    # remove_count) for positional scripts, (ins_count, start, del_count)
+    # for splice scripts; splice_flags picks the interpretation
     edit_counts: list[int] = []
     add_counts: list[int] = []
     remove_counts: list[int] = []
     edit_indices: list[np.ndarray] = []
     delta_lines: list[str] = []
+    splice_flags: list[bool] = []
 
     row = 0
     for gsize in group_sizes:
@@ -89,11 +126,25 @@ def encode_chain(
             if not force_key:
                 new_lines = text.split("\n")
                 eidx, elines, adds, rem = _line_delta(prev_lines, new_lines)
-                # degrade to keyframe if the script doesn't pay
-                script_chars = sum(len(s) for s in elines) + sum(len(s) for s in adds)
-                if script_chars + 8 * (len(eidx) + 2) >= len(text):
+                pos_cost = _script_cost(
+                    sum(len(x) for x in elines) + sum(len(x) for x in adds),
+                    len(eidx) + 3,
+                )
+                sp, sdel, sins = _splice_delta(prev_lines, new_lines)
+                spl_cost = _script_cost(sum(len(x) for x in sins), 3)
+                # degrade to keyframe if neither script pays
+                if min(pos_cost, spl_cost) >= len(text):
                     force_key = True
+                elif spl_cost < pos_cost:
+                    splice_flags.append(True)
+                    edit_counts.append(len(sins))
+                    add_counts.append(sp)
+                    remove_counts.append(sdel)
+                    edit_indices.append(np.zeros(0, dtype=np.int64))
+                    delta_lines.extend(sins)
+                    prev_lines = new_lines
                 else:
+                    splice_flags.append(False)
                     edit_counts.append(len(eidx))
                     add_counts.append(len(adds))
                     remove_counts.append(rem)
@@ -114,6 +165,7 @@ def encode_chain(
     gmeta, gpay = pack_ints(np.asarray(group_sizes, dtype=np.int64))
     key_bits = blocks.pack_mask(is_key)
     null_bits = blocks.pack_mask(is_null)
+    splice_bits = blocks.pack_mask(np.array(splice_flags, dtype=bool))
     keys_block = encode_plain(pd.Series(key_texts, dtype=object), level)
     emeta, epay = pack_ints(np.array(edit_counts, dtype=np.int64))
     ameta, apay = pack_ints(np.array(add_counts, dtype=np.int64))
@@ -128,6 +180,7 @@ def encode_chain(
         "n": n, "k": keyframe_interval,
         "groups": gmeta, "gplen": len(gpay),
         "kb_len": len(key_bits), "nb_len": len(null_bits),
+        "sb_len": len(splice_bits), "n_deltas": len(splice_flags),
         "keys_len": len(keys_block),
         "ec": emeta, "eclen": len(epay),
         "ac": ameta, "aclen": len(apay),
@@ -135,7 +188,8 @@ def encode_chain(
         "ei": imeta, "eilen": len(ipay),
     }
     payload = b"".join(
-        (gpay, key_bits, null_bits, keys_block, epay, apay, rpay, ipay, lines_block)
+        (gpay, key_bits, null_bits, splice_bits, keys_block,
+         epay, apay, rpay, ipay, lines_block)
     )
     return blocks.frame("chain", meta, payload)
 
@@ -147,6 +201,7 @@ def decode_chain(meta: dict, payload: bytes) -> pd.Series:
     group_sizes = unpack_ints(meta["groups"], payload[p : p + gplen]); p += gplen
     is_key = blocks.unpack_mask(payload[p : p + meta["kb_len"]], n); p += meta["kb_len"]
     is_null = blocks.unpack_mask(payload[p : p + meta["nb_len"]], n); p += meta["nb_len"]
+    splice = blocks.unpack_mask(payload[p : p + meta["sb_len"]], meta["n_deltas"]); p += meta["sb_len"]
     _, kmeta, kpay = blocks.unframe(payload[p : p + meta["keys_len"]]); p += meta["keys_len"]
     key_texts = decode_plain(kmeta, kpay).tolist()
     edit_counts = unpack_ints(meta["ec"], payload[p : p + meta["eclen"]]); p += meta["eclen"]
@@ -175,17 +230,22 @@ def decode_chain(meta: dict, payload: bytes) -> pd.Series:
                     out[i] = text
                     prev_lines = text.split("\n")
             else:
-                ec = int(edit_counts[di]); ac = int(add_counts[di]); rc = int(remove_counts[di])
+                c1 = int(edit_counts[di]); c2 = int(add_counts[di]); c3 = int(remove_counts[di])
+                is_splice = bool(splice[di])
                 di += 1
-                idx = edit_idx_flat[ei : ei + ec]; ei += ec
-                elines = delta_lines[li : li + ec]; li += ec
-                alines = delta_lines[li : li + ac]; li += ac
-                lines = list(prev_lines)
-                for j, line in zip(idx, elines):
-                    lines[int(j)] = line
-                if rc:
-                    del lines[len(lines) - rc :]
-                lines.extend(alines)
+                if is_splice:  # (ins_count, start, del_count)
+                    ins = delta_lines[li : li + c1]; li += c1
+                    lines = prev_lines[:c2] + ins + prev_lines[c2 + c3 :]
+                else:  # (edit_count, add_count, remove_count)
+                    idx = edit_idx_flat[ei : ei + c1]; ei += c1
+                    elines = delta_lines[li : li + c1]; li += c1
+                    alines = delta_lines[li : li + c2]; li += c2
+                    lines = list(prev_lines)
+                    for j, line in zip(idx, elines):
+                        lines[int(j)] = line
+                    if c3:
+                        del lines[len(lines) - c3 :]
+                    lines.extend(alines)
                 out[i] = "\n".join(lines)
                 prev_lines = lines
         row += int(gsize)

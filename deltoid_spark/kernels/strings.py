@@ -108,10 +108,20 @@ def decode_plain(meta: dict, payload: bytes) -> pd.Series:
 # ----------------------------------------------------------------- DICT ----
 
 
+def _factorize_exact(vals: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """NUL-safe factorize: pd.factorize hashes C strings, so values with
+    embedded ``\\x00`` collide ('' vs '\\x00').  np.unique compares full
+    Python strings; sorted unique order is deterministic (A8 analog)."""
+    arr = vals.to_numpy(dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
+    uniques, codes = np.unique(arr, return_inverse=True)
+    return codes.astype(np.int64), uniques.astype(object)
+
+
 def encode_dict(series: pd.Series, level: int = 3) -> bytes:
     mask, vals = _prep(series)
-    codes, uniques = pd.factorize(vals, sort=False)  # first-appearance order: deterministic
-    codes = codes.astype(np.int64)
+    codes, uniques = _factorize_exact(vals)
     cmeta, cpay = pack_ints(codes)
     inner = encode_plain(pd.Series(uniques, dtype=object), level)
     meta = {"n": len(series), "codes": cmeta, "cplen": len(cpay), "card": len(uniques)}
@@ -137,8 +147,7 @@ def encode_rle(series: pd.Series, level: int = 3) -> bytes:
     mask, vals = _prep(series)
     n = len(series)
     # factorize so null participates as code -1 -> runs computed on codes
-    codes, uniques = pd.factorize(vals, sort=False)
-    codes = codes.astype(np.int64)
+    codes, uniques = _factorize_exact(vals)
     codes[mask] = -1
     if n:
         starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))

@@ -228,3 +228,12 @@ class TestChain:
 def _unframe(buf):
     _, meta, payload = blocks.unframe(buf)
     return meta, payload
+
+
+def test_nul_byte_strings_exact():
+    # pd.factorize hashes C strings: '' and '\x00' collide. Our DICT/RLE
+    # must distinguish them (bit-identical round-trip requirement).
+    s = pd.Series([None, "\x00", "", "\x00x", "x\x00y"], dtype=object)
+    for codec in ("plain", "dict", "rle", "fsst"):
+        out = api.decode_block(api.encode_block(s, codec))
+        assert out.tolist() == s.tolist(), codec
