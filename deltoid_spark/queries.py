@@ -162,6 +162,15 @@ SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
 FROM documents GROUP BY md5(text) ORDER BY fp
 """
 
+# Q24 — rollup metrics (grouping-set aggregation; manifest-rollup shape).
+_Q24_SQL = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+ORDER BY y, m
+"""
+
 
 # --- queries whose dialects diverge: Spark (DataFrame API) + DuckDB SQL ---
 
@@ -353,6 +362,7 @@ _SHARED: dict[str, tuple[list[str], str]] = {
     "q08_for_bitwidth": (["lineitem"], _Q8_SQL),
     "q09_topk_orders": (["orders"], _Q9_SQL),
     "q10_dedup_exact": (["documents"], _Q10_SQL),
+    "q24_rollup_orders": (["orders"], _Q24_SQL),
 }
 
 _SPLIT: dict[str, tuple[Callable, str]] = {

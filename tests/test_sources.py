@@ -1,0 +1,43 @@
+"""Multi-format source/sink round-trips into the encode pipeline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from deltoid_spark import sources
+from deltoid_spark.fixtures import codegen
+from deltoid_spark.jobs import decode, encode, verify
+
+
+def test_json_source_roundtrip(spark, tmp_path_factory):
+    pdf = codegen.generate(2_000)
+    src = str(tmp_path_factory.mktemp("json_src"))
+    spark.createDataFrame(pdf).write.mode("overwrite").json(src)
+
+    df = sources.read_code_table(spark, src, format="json")
+    assert df.count() == len(pdf)
+    out = str(tmp_path_factory.mktemp("json_enc"))
+    encode(spark, df, out, target_rows=500)
+    assert verify(spark, df, decode(spark, out))["ok"]
+
+
+def test_csv_source_reads(spark, tmp_path_factory):
+    pdf = codegen.generate(500)
+    src = str(tmp_path_factory.mktemp("csv_src"))
+    spark.createDataFrame(pdf).write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(src)
+    df = sources.read_code_table(spark, src, format="csv")
+    assert df.count() == len(pdf)
+    # CSV cannot carry every byte sequence losslessly; schema must hold
+    assert df.columns == sources.COLUMNS
+
+
+def test_decoded_sink(spark, tmp_path_factory):
+    pdf = codegen.generate(500)
+    df = spark.createDataFrame(pdf)
+    dest = str(tmp_path_factory.mktemp("sink"))
+    sources.write_decoded(df, dest + "/p", format="parquet")
+    back = spark.read.parquet(dest + "/p")
+    assert back.count() == len(pdf)
+    assert back.filter(F.col("content").isNull()).count() == 0
