@@ -25,8 +25,6 @@ into the two kernels.
 
 from __future__ import annotations
 
-import hashlib
-import json
 import os
 import time
 

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from . import blocks
 from .intcodec import pack_ints, unpack_ints
-from .strings import _apply_mask, _mask_meta, _restore_nulls, utf8_view
+from .strings import _apply_mask, _mask_meta, utf8_view
 
 ESCAPE = 0xFF
 MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape

@@ -12,7 +12,6 @@ cost: the sample is capped, the full encode runs once with the winner.
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 
 import numpy as np
