@@ -98,7 +98,7 @@ _BLOCK_COLS = [
 ]
 
 
-def make_encode_kernel(keyframe_interval: int = 16, level: int = 3):
+def make_encode_kernel(keyframe_interval: int = 16, level: int | None = None):
     def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         part_id = int(pdf["part_id"].iloc[0])
@@ -109,7 +109,7 @@ def make_encode_kernel(keyframe_interval: int = 16, level: int = 3):
     return encode_partition
 
 
-def make_fragment_kernel(keyframe_interval: int = 16, level: int = 3):
+def make_fragment_kernel(keyframe_interval: int = 16, level: int | None = None):
     """mapInArrow kernel for *clustered* mode: encode each input split
     in place (no shuffle).  The split's rows are sorted and grouped by
     part_id locally; each (part_id, split) slice becomes a block

@@ -61,9 +61,20 @@ def unframe(buf: bytes) -> tuple[str, dict, bytes]:
 # ---------------------------------------------------------------- zstd ----
 
 
-def compress(data: bytes, level: int = 3) -> bytes:
+DEFAULT_LEVEL = 12  # zstd: ratio 0.048 vs 0.063 at level 3 on the code
+# fixture for +15% kernel time — nearly free in wall-clock because the
+# encode pipeline is I/O-bandwidth-bound at >=4 cores
+
+_codecs: dict[int, pa.Codec] = {}
+
+
+def compress(data: bytes, level: int | None = None) -> bytes:
     """zstd via pyarrow (JVM-free, vectorized C path)."""
-    return pa.compress(data, codec="zstd", asbytes=True)
+    lvl = DEFAULT_LEVEL if level is None else level
+    codec = _codecs.get(lvl)
+    if codec is None:
+        codec = _codecs[lvl] = pa.Codec("zstd", compression_level=lvl)
+    return codec.compress(data, asbytes=True)
 
 
 def decompress(data: bytes, raw_size: int) -> bytes:

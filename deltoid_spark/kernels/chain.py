@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 
 from . import blocks
-from .intcodec import pack_ints, unpack_ints
+from .intcodec import pack_ints, pack_ints_z, unpack_ints, unpack_ints_z
 from .strings import decode_plain, encode_plain
 
 DEFAULT_KEYFRAME_INTERVAL = 16
@@ -92,7 +92,7 @@ def encode_chain(
     contents: pd.Series,
     group_sizes: np.ndarray,
     keyframe_interval: int = DEFAULT_KEYFRAME_INTERVAL,
-    level: int = 3,
+    level: int | None = None,
 ) -> bytes:
     """Encode a content column whose rows are group-contiguous chains."""
     n = len(contents)
@@ -173,7 +173,7 @@ def encode_chain(
     flat_idx = (
         np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64)
     )
-    imeta, ipay = pack_ints(flat_idx)
+    imeta, ipay = pack_ints_z(flat_idx)
     lines_block = encode_plain(pd.Series(delta_lines, dtype=object), level)
 
     meta = {
@@ -207,7 +207,7 @@ def decode_chain(meta: dict, payload: bytes) -> pd.Series:
     edit_counts = unpack_ints(meta["ec"], payload[p : p + meta["eclen"]]); p += meta["eclen"]
     add_counts = unpack_ints(meta["ac"], payload[p : p + meta["aclen"]]); p += meta["aclen"]
     remove_counts = unpack_ints(meta["rc"], payload[p : p + meta["rclen"]]); p += meta["rclen"]
-    edit_idx_flat = unpack_ints(meta["ei"], payload[p : p + meta["eilen"]]); p += meta["eilen"]
+    edit_idx_flat = unpack_ints_z(meta["ei"], payload[p : p + meta["eilen"]]); p += meta["eilen"]
     _, lmeta, lpay = blocks.unframe(payload[p:])
     delta_lines = decode_plain(lmeta, lpay).tolist()
 

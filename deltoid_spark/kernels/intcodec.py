@@ -46,6 +46,23 @@ def unpack_ints(meta: dict, payload: bytes) -> np.ndarray:
     return (deltas.astype(np.int64)) + np.int64(ref)
 
 
+def pack_ints_z(values: np.ndarray, min_bytes: int = 256) -> tuple[dict, bytes]:
+    """pack_ints + zstd when it pays (repetitive code/run sequences
+    compress well below their bit-packed entropy bound)."""
+    meta, pay = pack_ints(values)
+    if len(pay) > min_bytes:
+        comp = blocks.compress(pay)
+        if len(comp) < len(pay):
+            return {**meta, "z": len(pay)}, comp
+    return meta, pay
+
+
+def unpack_ints_z(meta: dict, payload: bytes) -> np.ndarray:
+    if "z" in meta:
+        payload = blocks.decompress(payload, meta["z"])
+    return unpack_ints(meta, payload)
+
+
 # --------------------------------------------------------------- framed ----
 
 

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import blocks
-from .intcodec import pack_ints, unpack_ints
+from .intcodec import pack_ints, pack_ints_z, unpack_ints, unpack_ints_z
 
 
 def _prep(series: pd.Series) -> tuple[np.ndarray, pd.Series]:
@@ -75,7 +75,7 @@ def utf8_view(series: pd.Series) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def encode_plain(series: pd.Series, level: int = 3) -> bytes:
+def encode_plain(series: pd.Series, level: int | None = None) -> bytes:
     mask = series.isna().to_numpy()
     lengths, data = utf8_view(series)
     lmeta, lpay = pack_ints(lengths)
@@ -119,10 +119,10 @@ def _factorize_exact(vals: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return codes.astype(np.int64), uniques.astype(object)
 
 
-def encode_dict(series: pd.Series, level: int = 3) -> bytes:
+def encode_dict(series: pd.Series, level: int | None = None) -> bytes:
     mask, vals = _prep(series)
     codes, uniques = _factorize_exact(vals)
-    cmeta, cpay = pack_ints(codes)
+    cmeta, cpay = pack_ints_z(codes)
     inner = encode_plain(pd.Series(uniques, dtype=object), level)
     meta = {"n": len(series), "codes": cmeta, "cplen": len(cpay), "card": len(uniques)}
     mb = _mask_meta(meta, mask)
@@ -133,7 +133,7 @@ def decode_dict(meta: dict, payload: bytes) -> pd.Series:
     n = meta["n"]
     mask, payload = _apply_mask(meta, payload, n)
     cplen = meta["cplen"]
-    codes = unpack_ints(meta["codes"], payload[:cplen])
+    codes = unpack_ints_z(meta["codes"], payload[:cplen])
     _, imeta, ipay = blocks.unframe(payload[cplen:])
     uniques = decode_plain(imeta, ipay).to_numpy(dtype=object)
     out = uniques[codes] if n else np.zeros(0, dtype=object)
@@ -143,7 +143,7 @@ def decode_dict(meta: dict, payload: bytes) -> pd.Series:
 # ------------------------------------------------------------------ RLE ----
 
 
-def encode_rle(series: pd.Series, level: int = 3) -> bytes:
+def encode_rle(series: pd.Series, level: int | None = None) -> bytes:
     mask, vals = _prep(series)
     n = len(series)
     # factorize so null participates as code -1 -> runs computed on codes
@@ -156,8 +156,8 @@ def encode_rle(series: pd.Series, level: int = 3) -> bytes:
     else:
         run_lens = np.zeros(0, np.int64)
         run_codes = np.zeros(0, np.int64)
-    rmeta, rpay = pack_ints(run_codes)
-    lmeta, lpay = pack_ints(run_lens)
+    rmeta, rpay = pack_ints_z(run_codes)
+    lmeta, lpay = pack_ints_z(run_lens)
     inner = encode_plain(pd.Series(uniques, dtype=object), level)
     meta = {
         "n": n, "runs": len(run_lens),
@@ -170,8 +170,8 @@ def encode_rle(series: pd.Series, level: int = 3) -> bytes:
 def decode_rle(meta: dict, payload: bytes) -> pd.Series:
     n = meta["n"]
     rclen, rllen = meta["rclen"], meta["rllen"]
-    run_codes = unpack_ints(meta["rcodes"], payload[:rclen])
-    run_lens = unpack_ints(meta["rlens"], payload[rclen : rclen + rllen])
+    run_codes = unpack_ints_z(meta["rcodes"], payload[:rclen])
+    run_lens = unpack_ints_z(meta["rlens"], payload[rclen : rclen + rllen])
     _, imeta, ipay = blocks.unframe(payload[rclen + rllen :])
     uniques = decode_plain(imeta, ipay).to_numpy(dtype=object)
     codes = np.repeat(run_codes, run_lens) if n else np.zeros(0, np.int64)
