@@ -343,6 +343,30 @@ def _q22_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q25_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event counts (the streaming operator run on the
+    static table — identical plan on a stream, see streaming.py)."""
+    import pyspark.sql.functions as F2
+
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F2.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F2.count("*").alias("n_events"))
+        .select(
+            F2.date_format(F2.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type", "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_Q25_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
 def _q23_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(spark, n=64)
     feats = multimodal.extract_features(media, decode_stub=True)
@@ -373,6 +397,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q15_ann_cosine_topk": (_q15_spark, _Q15_ORACLE),
     "q16_embedding_stats": (_q16_spark, _Q16_ORACLE),
     "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
+    "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
 }
 
 _SPARK_ONLY: dict[str, Callable] = {
