@@ -61,9 +61,13 @@ def unframe(buf: bytes) -> tuple[str, dict, bytes]:
 # ---------------------------------------------------------------- zstd ----
 
 
-DEFAULT_LEVEL = 12  # zstd: ratio 0.048 vs 0.063 at level 3 on the code
-# fixture for +15% kernel time — nearly free in wall-clock because the
-# encode pipeline is I/O-bandwidth-bound at >=4 cores
+# zstd level: ratio/CPU knob. On the code fixture: level 3 -> 0.066,
+# 9 -> 0.058, 12 -> 0.049 total ratio; higher levels are search-heavy
+# (memory-bandwidth-hungry), which costs parallel efficiency on
+# bandwidth-starved hosts. Override per-run with DS_ZSTD_LEVEL.
+import os as _os
+
+DEFAULT_LEVEL = int(_os.environ.get("DS_ZSTD_LEVEL", "9"))
 
 _codecs: dict[int, pa.Codec] = {}
 
