@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--input", required=True)
     enc.add_argument("--out", required=True)
     enc.add_argument("--target-rows", type=int, default=20_000)
-    enc.add_argument("--keyframe-interval", type=int, default=16)
+    enc.add_argument("--keyframe-interval", type=int, default=32)
     enc.add_argument("--no-resume", action="store_true")
 
     dec = sub.add_parser("decode", help="J2: blocks -> table")

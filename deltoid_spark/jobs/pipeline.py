@@ -77,10 +77,16 @@ def _encode_rows(
         s = pdf[col]
         raw = _utf8_bytes(s)
         if col == "content" and len(gsizes) < len(s):
-            codec = "chain"
+            # trial both content strategies, keep the smaller: CHAIN's
+            # delta scripts vs whole-column PLAIN+zstd (whose window also
+            # dedups adjacent versions) — the winner is data-dependent
             buf = chain_kernel.encode_chain(
                 s, gsizes, keyframe_interval=keyframe_interval, level=level
             )
+            plain_buf = api.encode_block(s, "plain")
+            codec = "chain"
+            if len(plain_buf) < len(buf):
+                codec, buf = "plain", plain_buf
         else:
             codec, _stats = selector.select_codec(s)
             buf = api.encode_block(s, codec)
@@ -98,7 +104,7 @@ _BLOCK_COLS = [
 ]
 
 
-def make_encode_kernel(keyframe_interval: int = 16, level: int | None = None):
+def make_encode_kernel(keyframe_interval: int = 32, level: int | None = None):
     def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         part_id = int(pdf["part_id"].iloc[0])
@@ -109,7 +115,7 @@ def make_encode_kernel(keyframe_interval: int = 16, level: int | None = None):
     return encode_partition
 
 
-def make_fragment_kernel(keyframe_interval: int = 16, level: int | None = None):
+def make_fragment_kernel(keyframe_interval: int = 32, level: int | None = None):
     """mapInArrow kernel for *clustered* mode: encode each input split
     in place (no shuffle).  The split's rows are sorted and grouped by
     part_id locally; each (part_id, split) slice becomes a block
@@ -160,7 +166,7 @@ def encode(
     source: DataFrame | str,
     out_dir: str,
     target_rows: int = DEFAULT_TARGET_ROWS,
-    keyframe_interval: int = 16,
+    keyframe_interval: int = 32,
     resume: bool = True,
     mode: str = "grouped",
 ) -> DataFrame:

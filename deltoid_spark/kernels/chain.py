@@ -36,7 +36,7 @@ from . import blocks
 from .intcodec import pack_ints, pack_ints_z, unpack_ints, unpack_ints_z
 from .strings import decode_plain, encode_plain
 
-DEFAULT_KEYFRAME_INTERVAL = 16
+DEFAULT_KEYFRAME_INTERVAL = 32
 
 
 def _line_delta(prev: list[str], new: list[str]) -> tuple[np.ndarray, list[str], list[str], int]:
