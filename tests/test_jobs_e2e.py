@@ -95,7 +95,11 @@ def test_codec_choices_recorded(spark, tiny_df, tmp_path_factory):
 
     codec_maps = [json.loads(r["codecs"]) for r in manifest.collect()]
     assert all(set(c) == {"repo", "path", "commit", "lang", "content"} for c in codec_maps)
-    assert any(c["content"] == "chain" for c in codec_maps)
+    # content: the kernel trials CHAIN vs whole-column PLAIN per
+    # partition and records the winner (plain can win on tiny partitions
+    # where zstd's window spans the whole chain set; CHAIN wins at
+    # realistic partition sizes — asserted in test_kernels.py)
+    assert all(c["content"] in ("chain", "plain") for c in codec_maps)
     # hex and plain-zstd are near-equivalent on hex ids (zstd's entropy
     # coder also packs nibbles); either is a legitimate min-size pick
     assert all(c["commit"] in ("hex", "plain") for c in codec_maps)
