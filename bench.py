@@ -81,9 +81,14 @@ def run_encode_scaling() -> dict:
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         results[f"local{cores}"] = json.loads(line)
-    lo, hi = (results[f"local{c}"] for c in SCALING_CORES)
-    factor = SCALING_CORES[1] / SCALING_CORES[0]
-    eff = hi["gbps"] / (factor * lo["gbps"]) if lo.get("gbps") else None
+    lo = results[f"local{SCALING_CORES[0]}"]
+    hi = results[f"local{SCALING_CORES[-1]}"]
+    factor = SCALING_CORES[-1] / SCALING_CORES[0]
+    eff = (
+        hi["gbps"] / (factor * lo["gbps"])
+        if lo.get("gbps") and hi.get("gbps")
+        else None
+    )
     return {
         **results,
         "scaling_efficiency": round(eff, 3) if eff else None,

@@ -102,7 +102,7 @@ def _simhash64(text: str) -> int:
     for b in range(64):
         if acc[b] > 0:
             out |= 1 << b
-    return out - (1 << 63)  # two's-complement into int64
+    return out - (1 << 64) if out >= (1 << 63) else out  # wrap into int64
 
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -65,7 +65,7 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     for p in range(n_planes):
         # pseudo-random coefficient per (plane, dim): xxhash64 -> [-1, 1]
         coeff = lambda d, p=p: (  # noqa: E731
-            (F.xxhash64(d, F.lit(p), F.lit(seed)) % 20001) / 10000.0
+            (F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(20001)) - 10000) / 10000.0
         )
         proj = F.aggregate(
             F.zip_with(

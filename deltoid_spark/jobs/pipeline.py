@@ -88,8 +88,7 @@ def _encode_rows(
             if len(plain_buf) < len(buf):
                 codec, buf = "plain", plain_buf
         else:
-            codec, _stats = selector.select_codec(s)
-            buf = api.encode_block(s, codec)
+            codec, _stats, buf = selector.select_and_encode(s)
         sha = api.sha256_column(s) if col == "content" else None
         out.append(
             (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
@@ -297,11 +296,18 @@ def verify(spark: SparkSession, original: DataFrame, decoded: DataFrame) -> dict
         F.sum(F.when(F.col("sha_a").isNull() | F.col("sha_b").isNull(), 1).otherwise(0)).alias("missing"),
         F.sum(F.when(F.col("sha_a") != F.col("sha_b"), 1).otherwise(0)).alias("mismatched"),
     ).collect()[0]
+    # the key join alone cannot see lost/duplicated copies of non-unique
+    # keys — also require exact row-count equality
+    n_a, n_b = original.count(), decoded.count()
     return {
         "rows": agg["rows"],
+        "rows_original": n_a,
+        "rows_decoded": n_b,
         "missing": int(agg["missing"] or 0),
         "mismatched": int(agg["mismatched"] or 0),
-        "ok": (agg["missing"] or 0) == 0 and (agg["mismatched"] or 0) == 0,
+        "ok": (agg["missing"] or 0) == 0
+        and (agg["mismatched"] or 0) == 0
+        and n_a == n_b,
     }
 
 

@@ -55,13 +55,16 @@ def block_codec(buf: bytes) -> str:
 
 
 def sha256_column(series: pd.Series) -> str:
-    """Order-sensitive digest of a string column (null-aware)."""
+    """Order-sensitive digest of a string column (null-aware).
+
+    One C-speed pass: hashes the null mask, the per-row byte lengths,
+    and the concatenated utf-8 data straight from Arrow buffers — no
+    per-row Python (the length prefix + mask make the digest injective
+    over (values, nulls, boundaries))."""
+    mask = series.isna().to_numpy()
+    lengths, data = strings.utf8_view(series)
     h = hashlib.sha256()
-    for v in series:
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            h.update(b"\x00N")
-        else:
-            b = v.encode("utf-8")
-            h.update(len(b).to_bytes(8, "little"))
-            h.update(b)
+    h.update(mask.astype(np.uint8).tobytes())
+    h.update(lengths.astype("<i8").tobytes())
+    h.update(data)
     return h.hexdigest()

@@ -51,10 +51,15 @@ def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
     }
 
 
-def shortlist(stats: dict) -> list[str]:
+def shortlist(stats: dict, series: pd.Series | None = None) -> list[str]:
     cands = ["plain"]
     if stats["hex"]:
-        cands.append("hex")
+        # the stats sample said hex — but encode_hex requires EVERY row
+        # to be canonical lowercase even-length hex (bytes.fromhex also
+        # accepts uppercase and would silently lowercase on decode), so
+        # validate the full column before hex may be chosen
+        if series is None or strings.hex_eligible(series.dropna()):
+            cands.append("hex")
     if stats["distinct_ratio"] <= 0.5:
         cands.append("dict")
     if stats["mean_run"] >= 1.5:
@@ -66,27 +71,39 @@ def shortlist(stats: dict) -> list[str]:
 
 
 def select_codec(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> tuple[str, dict]:
-    """Pick the min-size codec by trial-encoding deterministic samples.
+    winner, stats, _buf = select_and_encode(series, sample_rows, want_buffer=False)
+    return winner, stats
+
+
+def select_and_encode(
+    series: pd.Series, sample_rows: int = SAMPLE_ROWS, want_buffer: bool = True
+) -> tuple[str, dict, bytes | None]:
+    """Pick the min-size codec by trial-encoding deterministic samples;
+    optionally return the winner's encoded block.
 
     Block size splits into a fixed part (symbol/dictionary tables, zstd
     headers) and a per-row part; which dominates differs per codec
     (FSST is nearly all table, PLAIN nearly all rows).  Trial-encode at
     two sample sizes, fit ``size(n) = fixed + per_row * n``, and rank
-    codecs by the extrapolated full-block size.
+    codecs by the extrapolated full-block size.  For small blocks the
+    trials ARE full encodes, so the winning buffer is returned directly
+    (no re-encode in the caller).
     """
     stats = column_stats(series, sample_rows)
-    cands = shortlist(stats)
+    cands = shortlist(stats, series)
     n = len(series)
     if n <= sample_rows:
-        sizes = {}
+        sizes: dict[str, float] = {}
+        bufs: dict[str, bytes] = {}
         for codec in cands:
             try:
-                sizes[codec] = float(len(api.encode_block(series.reset_index(drop=True), codec)))
+                bufs[codec] = api.encode_block(series.reset_index(drop=True), codec)
+                sizes[codec] = float(len(bufs[codec]))
             except Exception:
                 continue
         winner = min(sizes, key=lambda c: (sizes[c], c))
         stats["trial_sizes"] = sizes
-        return winner, stats
+        return winner, stats, (bufs[winner] if want_buffer else None)
 
     full = series.iloc[:: max(1, n // sample_rows)].reset_index(drop=True)
     half = full.iloc[: max(1, len(full) // 2)]
@@ -102,4 +119,5 @@ def select_codec(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> tuple[str
         est[codec] = fixed + per_row * n
     winner = min(est, key=lambda c: (est[c], c))  # deterministic tie-break
     stats["trial_sizes"] = est
-    return winner, stats
+    buf = api.encode_block(series, winner) if want_buffer else None
+    return winner, stats, buf

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .jobs.partitioning import assign_partitions
 from .jobs.pipeline import BLOCK_SCHEMA, ROW_SCHEMA, _decode_partition, make_encode_kernel
 
-INPUT_SCHEMA = "repo string, path string, commit string, lang string, content string"
+INPUT_SCHEMA = ROW_SCHEMA  # the canonical 5-column schema
 
 
 def stream_encode(
@@ -72,7 +72,7 @@ def decode_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Reconstruct all rows ingested so far (across micro-batches)."""
     blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
     return blocks.groupBy("batch_id", "part_id").applyInPandas(
-        lambda pdf: _decode_partition(pdf), ROW_SCHEMA
+        _decode_partition, ROW_SCHEMA
     )
 
 

@@ -95,3 +95,10 @@ def test_frame_sample_plan(spark):
     vids = [r for r in media.collect() if r["kind"] == "video"]
     expected = sum(r["duration_ms"] // 500 + 1 for r in vids)
     assert len(plan) == expected
+
+
+def test_simhash_empty_string_is_zero():
+    # regression: the int64 wrap used to flip the MSB unconditionally
+    assert dedup._simhash64("") == 0
+    h = dedup._simhash64("token")
+    assert -(2**63) <= h < 2**63

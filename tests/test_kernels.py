@@ -262,3 +262,24 @@ def test_chain_beats_plain_at_partition_scale():
     chain_buf = chain.encode_chain(s, g)  # k=32 default
     plain_buf = api.encode_block(s, "plain")
     assert len(chain_buf) <= len(plain_buf) * 1.05  # near-parity floor; kernel picks min anyway
+
+
+def test_hex_not_selected_on_mixed_case_column():
+    # one uppercase row outside the stats sample: selecting hex would
+    # silently lowercase on round-trip (bytes.fromhex accepts uppercase)
+    vals = ["%040x" % rng.getrandbits(160) for _ in range(3000)]
+    vals[1] = vals[1].upper()  # stride sampling sees even rows only
+    s = pd.Series(vals, dtype=object)
+    codec, _ = selector.select_codec(s)
+    buf = api.encode_block(s, codec)
+    assert api.decode_block(buf).tolist() == s.tolist()
+    assert codec != "hex"
+
+
+def test_hex_not_selected_on_odd_length_value():
+    vals = ["%040x" % rng.getrandbits(160) for _ in range(3000)]
+    vals[1] = "abc"  # odd length: bytes.fromhex would raise mid-encode
+    s = pd.Series(vals, dtype=object)
+    codec, _ = selector.select_codec(s)
+    out = api.decode_block(api.encode_block(s, codec))
+    assert out.tolist() == s.tolist()
