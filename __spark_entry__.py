@@ -23,8 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _ship_package(spark: SparkSession) -> None:
+    """Prepare a caller-provided session: ship the package zip to the
+    Python workers and pin the runtime-settable confs the queries
+    assume (UTC windows for oracle parity, Arrow-batched UDFs)."""
     from deltoid_spark.session import package_zip
 
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
     try:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
