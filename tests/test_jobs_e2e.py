@@ -103,3 +103,13 @@ def test_codec_choices_recorded(spark, tiny_df, tmp_path_factory):
     # hex and plain-zstd are near-equivalent on hex ids (zstd's entropy
     # coder also packs nibbles); either is a legitimate min-size pick
     assert all(c["commit"] in ("hex", "plain") for c in codec_maps)
+
+
+def test_empty_input(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty"))
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    manifest = encode(spark, empty, out, target_rows=100)
+    assert manifest.count() == 0
+    assert decode(spark, out).count() == 0
