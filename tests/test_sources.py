@@ -41,3 +41,25 @@ def test_decoded_sink(spark, tmp_path_factory):
     back = spark.read.parquet(dest + "/p")
     assert back.count() == len(pdf)
     assert back.filter(F.col("content").isNull()).count() == 0
+
+
+def test_package_zip_self_contained(tmp_path):
+    """The spark-submit --py-files artifact imports and runs standalone."""
+    import subprocess
+    import sys
+
+    from deltoid_spark.session import package_zip
+
+    zip_path = package_zip()
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import pandas as pd; "
+        "from deltoid_spark.kernels import encode_block, decode_block; "
+        "s = pd.Series(['a','b','a'], dtype=object); "
+        "assert decode_block(encode_block(s, 'dict')).tolist() == s.tolist(); "
+        "print('zip-ok')" % zip_path
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=str(tmp_path)
+    )
+    assert out.returncode == 0 and "zip-ok" in out.stdout, out.stderr[-500:]
