@@ -56,7 +56,7 @@ def _shared_sql(names: list[str], sql: str) -> Callable[[SparkSession, str], Dat
 # in integer cents so both engines sum exactly.
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT))                                    AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                    AS sum_qty,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)  AS sum_base_cents,
        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*)                                                           AS n_rows
@@ -91,7 +91,8 @@ runs AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM seq),
 rl AS (SELECT value, run_id, COUNT(*) AS run_len FROM runs GROUP BY value, run_id)
-SELECT value, COUNT(*) AS n_runs, SUM(run_len) AS total_rows, MAX(run_len) AS max_run
+SELECT value, COUNT(*) AS n_runs, CAST(SUM(run_len) AS BIGINT) AS total_rows,
+       MAX(run_len) AS max_run
 FROM rl GROUP BY value ORDER BY value
 """
 
@@ -110,7 +111,7 @@ WITH seq AS (
          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN prev IS NULL OR prev <> value THEN 1 ELSE 0 END) AS n_changes
+       CAST(SUM(CASE WHEN prev IS NULL OR prev <> value THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
 FROM seq GROUP BY user_id ORDER BY user_id
 """
 
@@ -209,8 +210,8 @@ WITH t AS (
   SELECT lang, LENGTH(text) AS n_chars,
          LENGTH(regexp_replace(regexp_replace(text, '[^ ]+', 'x', 'g'), ' ', '', 'g')) AS n_toks
   FROM documents)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(n_toks) AS total_tokens, MAX(n_toks) AS max_tokens
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens, MAX(n_toks) AS max_tokens
 FROM t GROUP BY lang ORDER BY lang
 """
 

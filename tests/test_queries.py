@@ -28,12 +28,13 @@ def _duck(sf_dir: str):
 
 
 def _norm_cell(v):
+    # Mirror the driver: NO float coercion — an integer column that
+    # surfaces as float64 (e.g. DuckDB HUGEINT through pandas) must
+    # hash differently ("23287.0" vs "23287") so type drift is caught.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, float):
-        return f"{v:.6g}"
     return str(v)
 
 
@@ -64,9 +65,23 @@ def test_query_matches_oracle(spark, oracle_con, name):
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = oracle_con.execute(ORACLES[name])
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    # fetch through Arrow; any decimal128 column means the oracle SQL
+    # produced a DuckDB HUGEINT (un-cast SUM) — the driver's hash then
+    # sees "23287.0" vs Spark's int64 "23287" and fails, so fail HERE.
+    dtab = oracle_con.execute(ORACLES[name]).arrow()
+    import pyarrow.types as patypes
+
+    hugeint_cols = [
+        f.name for f in dtab.schema if patypes.is_decimal(f.type)
+    ]
+    assert not hugeint_cols, (
+        f"{name}: oracle columns {hugeint_cols} are HUGEINT — wrap the "
+        "SUM in CAST(... AS BIGINT) (driver hash surfaces these as float)"
+    )
+    duck_cols = [c.lower() for c in dtab.column_names]
+    duck_rows = [
+        tuple(row[c] for c in dtab.column_names) for row in dtab.to_pylist()
+    ]
 
     assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
     assert len(spark_rows) == len(duck_rows), (name, len(spark_rows), len(duck_rows))
