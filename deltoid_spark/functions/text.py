@@ -33,7 +33,9 @@ def _lit_rx(s: str) -> str:
     """Escape a literal for use in a regex (portable subset)."""
     out = []
     for ch in s:
-        if ch in ".^$*+?()[]{}|":
+        if ch == "\\":
+            out.append("\\\\")  # [\] is invalid in Java regex; escape instead
+        elif ch in ".^$*+?()[]{}|":
             out.append("[" + ch + "]")
         else:
             out.append(ch)

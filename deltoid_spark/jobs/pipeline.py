@@ -285,22 +285,40 @@ def verify(spark: SparkSession, original: DataFrame, decoded: DataFrame) -> dict
     sides; also checks no rows were lost or invented.
     """
     def prep(df, tag):
-        return df.select(
-            "repo", "path", "commit",
-            F.sha2(F.coalesce(F.col("content"), F.lit("\x00NULL")), 256).alias(f"sha_{tag}"),
+        # null state is hashed explicitly (a literal sentinel string could
+        # collide with real content equal to the sentinel); pre-aggregating
+        # per key makes duplicated/lost copies of a key visible in n_<tag>
+        # without a separate count() action over each input
+        digest = F.concat(
+            F.col("content").isNull().cast("string"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
+        )
+        return (
+            df.select("repo", "path", "commit", digest.alias("d"))
+            .groupBy("repo", "path", "commit")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.min("d").alias(f"dmin_{tag}"),
+                F.max("d").alias(f"dmax_{tag}"),
+            )
         )
 
     j = prep(original, "a").join(prep(decoded, "b"), ["repo", "path", "commit"], "full")
+    bad = (
+        (F.col("n_a") != F.col("n_b"))
+        | (F.col("dmin_a") != F.col("dmin_b"))
+        | (F.col("dmax_a") != F.col("dmax_b"))
+    )
     agg = j.agg(
-        F.count("*").alias("rows"),
-        F.sum(F.when(F.col("sha_a").isNull() | F.col("sha_b").isNull(), 1).otherwise(0)).alias("missing"),
-        F.sum(F.when(F.col("sha_a") != F.col("sha_b"), 1).otherwise(0)).alias("mismatched"),
+        F.count("*").alias("keys"),
+        F.sum(F.when(F.col("n_a").isNull() | F.col("n_b").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("mismatched"),
+        F.sum("n_a").alias("rows_original"),
+        F.sum("n_b").alias("rows_decoded"),
     ).collect()[0]
-    # the key join alone cannot see lost/duplicated copies of non-unique
-    # keys — also require exact row-count equality
-    n_a, n_b = original.count(), decoded.count()
+    n_a, n_b = int(agg["rows_original"] or 0), int(agg["rows_decoded"] or 0)
     return {
-        "rows": agg["rows"],
+        "rows": agg["keys"],
         "rows_original": n_a,
         "rows_decoded": n_b,
         "missing": int(agg["missing"] or 0),

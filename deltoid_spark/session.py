@@ -16,19 +16,34 @@ def package_zip() -> str:
     ``spark-submit --py-files``; locally we ``addPyFile`` it so Python
     workers can unpickle the kernels regardless of their cwd.
     """
+    import hashlib
+
     import deltoid_spark
 
     pkg_dir = os.path.dirname(deltoid_spark.__file__)
-    out = os.path.join(tempfile.gettempdir(), "deltoid_spark_pkg.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "deltoid_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+    entries = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                rel = os.path.join("deltoid_spark", os.path.relpath(full, pkg_dir))
+                data = open(full, "rb").read()
+                digest.update(rel.encode())
+                digest.update(data)
+                entries.append((rel, data))
+    # content-hashed name: concurrent sessions with identical source share
+    # the artifact; different source never overwrites a zip executors may
+    # still be reading (and a squatter's stale file is never reused)
+    out = os.path.join(
+        tempfile.gettempdir(), f"deltoid_spark_pkg_{digest.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(out):
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".zip")
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, data in entries:
+                zf.writestr(rel, data)
+        os.replace(tmp, out)
     return out
 
 
