@@ -24,7 +24,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions import dedup, multimodal, similarity, text
+from .functions import dedup, multimodal, runs, similarity, text
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -77,8 +77,9 @@ FROM lineitem
 
 # Q3 — run-length profile of a sorted column (the RLE codec signal;
 # run coalescing per /root/reference/deltoid/src/vec.rs:61-64).
-# Global-order window: fine for a stats query at sample SF; at 100 TB
-# this runs per partition range (the encode job computes it in-kernel).
+# Spark side: segmented scan + boundary stitch (functions/runs.py) —
+# no single-partition global window.  The oracle keeps the simple
+# global-window formulation (DuckDB runs it on sample SF only).
 _Q3_SQL = """
 WITH seq AS (
   SELECT l_orderkey, l_linenumber, l_returnflag AS value,
@@ -174,6 +175,12 @@ ORDER BY y, m
 
 
 # --- queries whose dialects diverge: Spark (DataFrame API) + DuckDB SQL ---
+
+def _q03_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs.run_length_profile(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
 
 def _q11_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -379,7 +386,6 @@ def _q23_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED: dict[str, tuple[list[str], str]] = {
     "q01_pricing_summary": (["lineitem"], _Q1_SQL),
     "q02_column_cardinality": (["lineitem"], _Q2_SQL),
-    "q03_run_lengths": (["lineitem"], _Q3_SQL),
     "q04_event_rank": (["events"], _Q4_SQL),
     "q05_changed_flag": (["events"], _Q5_SQL),
     "q06_keyed_diff": (["orders"], _Q6_SQL),
@@ -391,6 +397,7 @@ _SHARED: dict[str, tuple[list[str], str]] = {
 }
 
 _SPLIT: dict[str, tuple[Callable, str]] = {
+    "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
     "q13_lang_id": (_q13_spark, _Q13_ORACLE),

@@ -102,3 +102,31 @@ def test_simhash_empty_string_is_zero():
     assert dedup._simhash64("") == 0
     h = dedup._simhash64("token")
     assert -(2**63) <= h < 2**63
+
+
+def test_run_length_profile_stitches_boundaries(spark):
+    from deltoid_spark.functions import runs
+
+    # keys 0..19, values form runs crossing every bucket boundary at
+    # bucket_size=4: AAAA ABBB BBCC CCCC CDDD -> runs A5 B5 C7 D3
+    vals = "AAAAABBBBBCCCCCCCDDD"
+    df = spark.createDataFrame(
+        [(i, 0, v) for i, v in enumerate(vals)], "k long, s long, v string"
+    )
+    expect = {"A": (1, 5, 5), "B": (1, 5, 5), "C": (1, 7, 7), "D": (1, 3, 3)}
+    for bucket in (4, 1000):
+        got = {
+            r["value"]: (r["n_runs"], r["total_rows"], r["max_run"])
+            for r in runs.run_length_profile(df, "k", "s", "v", bucket).collect()
+        }
+        assert got == expect, (bucket, got)
+
+    # repeated value in non-adjacent runs must not merge: A B A B
+    df2 = spark.createDataFrame(
+        [(0, 0, "A"), (1, 0, "B"), (2, 0, "A"), (3, 0, "B")], "k long, s long, v string"
+    )
+    got2 = {
+        r["value"]: (r["n_runs"], r["total_rows"], r["max_run"])
+        for r in runs.run_length_profile(df2, "k", "s", "v", 2).collect()
+    }
+    assert got2 == {"A": (2, 2, 1), "B": (2, 2, 1)}
