@@ -1,10 +1,11 @@
 """Deduplication operators: exact, shingle-minhash, MinHash-LSH, SimHash.
 
 All deterministic (hash-based, no RNG at query time) and expressed as
-DataFrame ops; SimHash uses one Arrow-batched pandas UDF (bit-majority
-is genuinely non-relational).  Reference tie-in: exact/keyed dedup is
-the engine-side use of the map/set diff semantics (SURVEY.md A7/A9);
-everything else is engine-new for the 100 TB training-data use case.
+DataFrame ops — including SimHash, whose bit-majority runs as 64
+JVM-side conditional sums (zero Python anywhere).  Reference tie-in:
+exact/keyed dedup is the engine-side use of the map/set diff semantics
+(SURVEY.md A7/A9); everything else is engine-new for the 100 TB
+training-data use case.
 
 Scale notes: shingling explodes ~|text| rows per doc — at 100 TB this
 runs as a map-side explode feeding a partial (map-side combined)
@@ -17,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -92,7 +92,12 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
 
 
 def _simhash64(text: str) -> int:
-    """Deterministic 64-bit SimHash over whitespace tokens (md5-based)."""
+    """Pure-python reference SimHash (the unit-test oracle for simhash()).
+
+    Deterministic 64-bit SimHash over whitespace tokens: h = first 8
+    bytes of md5(token) big-endian; bit b of the output is the sign of
+    the per-bit vote sum across tokens.
+    """
     acc = [0] * 64
     for tok in text.split():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
@@ -105,15 +110,55 @@ def _simhash64(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out  # wrap into int64
 
 
+def _token_hash_halves(docs: DataFrame) -> DataFrame:
+    """Explode whitespace tokens and hash each to two 32-bit halves.
+
+    h = first 16 hex chars of md5(token) = first 8 digest bytes
+    big-endian; hi/lo carry bits 63..32 / 31..0.  conv() on 8 hex chars
+    fits a signed long, so everything stays JVM-side.
+    """
+    return (
+        docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+
+
+def _vote(b: int):
+    """±1 vote for bit b of the 64-bit token hash."""
+    src = F.col("hi") if b >= 32 else F.col("lo")
+    return (F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+
+
 def simhash(docs: DataFrame) -> DataFrame:
-    """SimHash per doc via an Arrow-batched pandas UDF (no per-row Python
-    at the Spark boundary; the token loop runs inside the batch)."""
+    """SimHash per doc, entirely in JVM expressions (no Python at all):
+    explode tokens -> md5 -> 64 conditional sums (map-side combinable;
+    the shuffle carries one row of 64 longs per doc) -> sign bits.
 
-    @F.pandas_udf("long")
-    def sh(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(_simhash64)
-
-    return docs.select("doc_id", sh("text").alias("simhash"))
+    Tokenless docs (empty/whitespace text) get simhash 0, matching the
+    pure-python reference.
+    """
+    votes = _token_hash_halves(docs).groupBy("doc_id").agg(
+        *[F.sum(_vote(b)).alias(f"a{b}") for b in range(64)]
+    )
+    # bit 63 contributes the sign via Java shiftleft wrap (1L << 63 < 0),
+    # matching the reference's int64 wrap
+    sh = None
+    for b in range(64):
+        term = F.when(F.col(f"a{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    sigs = votes.select("doc_id", sh.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_buckets(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:

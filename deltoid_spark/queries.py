@@ -318,6 +318,40 @@ def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load(spark, sf_dir, "documents"), prefix_bits=12)
 
 
+def _q19_oracle() -> str:
+    """SimHash bucket oracle: the same md5 bit-vote arithmetic in DuckDB.
+
+    Tokens hash to (hi, lo) 32-bit halves via hex-prefix casts; only the
+    top 12 bits (52..63) feed the bucket, so no signed-int64 overflow.
+    Docs with no tokens land in bucket 0 via the LEFT JOIN NULL votes.
+    """
+    votes = ",\n         ".join(
+        f"SUM(2 * (({'hi' if b >= 32 else 'lo'} >> {b % 32}) & 1) - 1) AS a{b}"
+        for b in range(52, 64)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN a{b} > 0 THEN {1 << (b - 52)} ELSE 0 END)" for b in range(52, 64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks WHERE tok <> ''),
+acc AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id),
+bkt AS (
+  SELECT d.doc_id, CAST({bucket} AS BIGINT) AS bucket
+  FROM documents d LEFT JOIN acc ON d.doc_id = acc.doc_id)
+SELECT COALESCE(bucket, 0) AS bucket, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM bkt GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY bucket
+"""
+
+
 def _q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
 
@@ -399,6 +433,7 @@ _SHARED: dict[str, tuple[list[str], str]] = {
 _SPLIT: dict[str, tuple[Callable, str]] = {
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
+    "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
     "q13_lang_id": (_q13_spark, _Q13_ORACLE),
     "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
@@ -410,7 +445,6 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
 
 _SPARK_ONLY: dict[str, Callable] = {
     "q18_lsh_candidate_pairs": _q18_lsh_pairs,
-    "q19_simhash_buckets": _q19_simhash_buckets,
     "q20_ann_lsh_topk": _q20_ann_lsh,
     "q21_encode_metrics": _q21_encode_metrics,
     "q22_roundtrip_parity": _q22_roundtrip_parity,
