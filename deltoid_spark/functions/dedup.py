@@ -46,14 +46,26 @@ def char_shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
     ).select("doc_id", F.expr(f"substring(text, i, {width})").alias("g"))
 
 
-def minhash_signatures(docs: DataFrame, k: int = N_MINHASH, width: int = SHINGLE) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = N_MINHASH, width: int = SHINGLE, portable: bool = True
+) -> DataFrame:
     """k-permutation MinHash over character shingles.
 
-    xxhash64 with k seeds approximates k independent permutations; the
-    min aggregate is map-side combinable so only k longs per doc shuffle.
+    k seeded hashes approximate k independent permutations; the min
+    aggregate is map-side combinable so only k values per doc shuffle.
+    portable=True uses md5 of a seed-prefixed shingle (reproducible in
+    any engine, incl. the DuckDB oracle); portable=False uses seeded
+    xxhash64 — cheaper per shingle, pick it on the 100 TB path where no
+    cross-engine parity is needed (identical plan either way).
     """
     grams = char_shingles(docs, width)
-    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    if portable:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return grams.groupBy("doc_id").agg(*aggs)
 
 
@@ -69,7 +81,7 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[f"mh{b * per_band + j}" for j in range(per_band)]).alias("h"),
+            F.md5(F.concat(*[f"mh{b * per_band + j}" for j in range(per_band)])).alias("h"),
         )
         for b in range(bands)
     ]

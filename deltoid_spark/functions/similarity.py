@@ -53,6 +53,20 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
     )
 
 
+def plane_coeff(d, p: int, seed: int):
+    """Deterministic pseudo-random plane coefficient in [-1, 1].
+
+    md5 of "dim_plane_seed" -> first 8 hex digits -> integer -> scaled.
+    md5 (not xxhash64) so any engine — including the DuckDB oracle —
+    reproduces the exact same planes and therefore the same buckets.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(d.cast("string"), F.lit(f"_{p}_{seed}"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return (F.pmod(h, F.lit(20001)) - 10000) / 10000.0
+
+
 def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42) -> DataFrame:
     """Sign-LSH: bucket = sign bits against n fixed pseudo-random planes.
 
@@ -61,22 +75,23 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     engine reproduces the same buckets.
     """
     dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-    planes = []
-    for p in range(n_planes):
-        # pseudo-random coefficient per (plane, dim): xxhash64 -> [-1, 1]
-        coeff = lambda d, p=p: (  # noqa: E731
-            (F.pmod(F.xxhash64(d, F.lit(p), F.lit(seed)), F.lit(20001)) - 10000) / 10000.0
-        )
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.transform(dim_idx, coeff),
-                lambda x, c: x * c,
-            ),
+
+    def projection(p: int) -> Column:
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # second parameter (even a defaulted `p=p` closure trick) makes
+        # PySpark use the (element, index) binary-lambda form and bind
+        # it to the array index
+        coeffs = F.transform(dim_idx, lambda d: plane_coeff(d, p, seed))
+        return F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), coeffs, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        planes.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+
+    planes = [
+        F.when(projection(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        for p in range(n_planes)
+    ]
     bucket = planes[0]
     for p in planes[1:]:
         bucket = bucket + p

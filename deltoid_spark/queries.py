@@ -314,6 +314,38 @@ def _q18_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
+def _q18_oracle() -> str:
+    """MinHash-LSH candidate pairs: identical md5 minhash + band join in
+    DuckDB (shingle -> 8 seeded-md5 mins -> 4 bands of 2 -> bucket join)."""
+    k, bands = dedup.N_MINHASH, dedup.N_BANDS
+    per_band = k // bands
+    mins = ",\n         ".join(
+        f"MIN(md5(concat('{i}:', g))) AS mh{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat({cols})) AS h FROM mh".format(
+            b=b, cols=", ".join(f"mh{b * per_band + j}" for j in range(per_band))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 16) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(1, length(text) - 15))) AS i
+        FROM documents)),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM g GROUP BY doc_id),
+banded AS (
+  {band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load(spark, sf_dir, "documents"), prefix_bits=12)
 
@@ -354,6 +386,37 @@ FROM bkt GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY bucket
 
 def _q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
+
+
+def _q20_oracle(n_planes: int = 6, seed: int = 42) -> str:
+    """LSH-ANN oracle: the same md5-derived hyperplanes in DuckDB.
+
+    Projections fold sequentially (list_reduce after an index-ordered
+    list_transform) exactly like Spark's aggregate() fold, so the sign
+    bits — and hence the probed bucket — are bit-identical.
+    """
+
+    def coeff(p: int) -> str:
+        return (
+            "(CAST(concat('0x', substr(md5(concat(CAST(j - 1 AS VARCHAR), "
+            f"'_{p}_{seed}')), 1, 8)) AS BIGINT) % 20001 - 10000) / 10000.0"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), "
+        f"j -> v[j] * {coeff(p)}), (a, x) -> a + x) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 1)
+SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 4) AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qb AND b.vec_id <> 1
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+"""
 
 
 def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +496,9 @@ _SHARED: dict[str, tuple[list[str], str]] = {
 _SPLIT: dict[str, tuple[Callable, str]] = {
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
+    "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
+    "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
     "q13_lang_id": (_q13_spark, _Q13_ORACLE),
     "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
@@ -444,8 +509,6 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
 }
 
 _SPARK_ONLY: dict[str, Callable] = {
-    "q18_lsh_candidate_pairs": _q18_lsh_pairs,
-    "q20_ann_lsh_topk": _q20_ann_lsh,
     "q21_encode_metrics": _q21_encode_metrics,
     "q22_roundtrip_parity": _q22_roundtrip_parity,
     "q23_media_features": _q23_media_features,
