@@ -64,9 +64,11 @@ def _line_pool(rng: np.random.Generator, size: int = 20_000) -> np.ndarray:
     return pool
 
 
-def _commit_id(repo: str, path: str, version: int) -> str:
+def _commit_id(repo: str, path: str, version: int, sortable: bool = True) -> str:
     h = hashlib.sha1(f"{repo}|{path}|{version}|{SEED}".encode()).hexdigest()
-    return f"{version:08x}{h[:32]}"
+    if sortable:
+        return f"{version:08x}{h[:32]}"
+    return h  # realistic content-hash commit: lexical order != version order
 
 
 def generate(
@@ -74,8 +76,16 @@ def generate(
     seed: int = SEED,
     giant_repo_share: float = 0.5,
     n_repos: int = 40,
+    sortable_commits: bool = True,
+    with_ts: bool = False,
 ) -> pd.DataFrame:
-    """Generate ~n_rows of the code_files table, deterministically."""
+    """Generate ~n_rows of the code_files table, deterministically.
+
+    sortable_commits=False emits realistic content-hash commit ids whose
+    lexical order scrambles version order; pair with with_ts=True to add
+    a commit timestamp column (the linearization signal the encode job's
+    order_cols inference uses).
+    """
     rng = np.random.default_rng(np.random.PCG64(seed))
     pool = _line_pool(rng)
     psize = len(pool)
@@ -92,6 +102,7 @@ def generate(
     rows_commit: list[str] = []
     rows_lang: list[str] = []
     rows_content: list[str] = []
+    rows_ts: list[int] = []  # epoch seconds; converted at the end
 
     for r, repo in enumerate(repo_names):
         target = int(repo_targets[r])
@@ -124,27 +135,42 @@ def generate(
                 content = "\n".join(pool[i] for i in lines)
                 rows_repo.append(repo)
                 rows_path.append(path)
-                rows_commit.append(_commit_id(repo, path, v))
+                rows_commit.append(_commit_id(repo, path, v, sortable_commits))
                 rows_lang.append(lang)
                 rows_content.append(content)
+                rows_ts.append(_commit_ts(repo, path, v))
             made += n_versions
 
-    df = pd.DataFrame(
-        {
-            "repo": rows_repo, "path": rows_path, "commit": rows_commit,
-            "lang": rows_lang, "content": rows_content,
-        }
+    data = {
+        "repo": rows_repo, "path": rows_path, "commit": rows_commit,
+        "lang": rows_lang, "content": rows_content,
+    }
+    if with_ts:
+        data["ts"] = pd.to_datetime(np.array(rows_ts, dtype=np.int64), unit="s")
+    df = pd.DataFrame(data)
+    return pd.concat(
+        [df, _edge_rows(rng, sortable_commits, with_ts)], ignore_index=True
     )
-    return pd.concat([df, _edge_rows(rng)], ignore_index=True)
 
 
-def _edge_rows(rng: np.random.Generator) -> pd.DataFrame:
+def _commit_ts(repo: str, path: str, version: int) -> int:
+    """Deterministic commit time: per-file base + one hour per version."""
+    base = int(hashlib.sha1(f"ts|{repo}|{path}".encode()).hexdigest()[:8], 16) % 10**6
+    return 1_577_836_800 + base + version * 3600  # 2020-01-01 epoch
+
+
+def _edge_rows(
+    rng: np.random.Generator, sortable: bool = True, with_ts: bool = False
+) -> pd.DataFrame:
     """The adversarial rows from FIXTURES.md F1."""
     rows = []
 
     def chain(repo, path, lang, contents):
         for v, c in enumerate(contents):
-            rows.append((repo, path, _commit_id(repo, path, v), lang, c))
+            row = [repo, path, _commit_id(repo, path, v, sortable), lang, c]
+            if with_ts:
+                row.append(pd.Timestamp(_commit_ts(repo, path, v), unit="s"))
+            rows.append(tuple(row))
 
     chain("edge/empty", "e/empty.py", "python", ["", "x", ""])
     chain("edge/single", "e/one.py", "python", ["single line no newline"])
@@ -158,7 +184,8 @@ def _edge_rows(rng: np.random.Generator) -> pd.DataFrame:
     arr = np.array(list(b64), dtype=object)
     blob = lambda: "".join(arr[rng.integers(0, 64, size=512)])  # noqa: E731
     chain("edge/random", "e/blob.bin", "shell", [blob() for _ in range(6)])
-    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    cols = ["repo", "path", "commit", "lang", "content"] + (["ts"] if with_ts else [])
+    return pd.DataFrame(rows, columns=cols)
 
 
 def write_parquet(df: pd.DataFrame, path: str, n_shards: int = 32) -> str:

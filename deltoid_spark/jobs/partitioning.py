@@ -31,13 +31,23 @@ from pyspark.sql import DataFrame
 DEFAULT_TARGET_ROWS = 20_000
 
 
-def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> tuple[DataFrame, int]:
-    """Add a deterministic ``part_id`` column; return (df, n_partitions)."""
-    # one aggregate over (repo): tiny output, cached so the giants filter
-    # and the global total reuse it instead of rescanning the input
-    counts = df.groupBy("repo").agg(F.count("*").alias("n")).cache()
+def assign_partitions(
+    df: DataFrame,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> tuple[DataFrame, int]:
+    """Add a deterministic ``part_id`` column; return (df, n_partitions).
+
+    key_cols[0] is the coarse grouping key (repo); a giant group is
+    salted by key_cols[1] (path) so chains keyed by the full key tuple
+    never split.
+    """
+    group_col, salt_col = key_cols[0], key_cols[1]
+    # one aggregate over the group key: tiny output, cached so the giants
+    # filter and the global total reuse it instead of rescanning the input
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n")).cache()
     giants = [
-        (r["repo"], int(r["n"]))
+        (r[group_col], int(r["n"]))
         for r in counts.filter(F.col("n") > target_rows).collect()
     ]
     giants.sort()  # deterministic base-id assignment
@@ -49,7 +59,8 @@ def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> 
         base += n_salts
 
     small_rows = df.sparkSession.createDataFrame(
-        [(r, b, s) for r, b, s in salt_map], "repo string, base_id long, n_salts long"
+        [(r, b, s) for r, b, s in salt_map],
+        f"{group_col} string, base_id long, n_salts long",
     )
     # how many buckets for the long tail of small repos
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
@@ -58,13 +69,13 @@ def assign_partitions(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> 
     n_small = max(1, math.ceil((total - giant_total) / target_rows))
 
     out = (
-        df.join(F.broadcast(small_rows), "repo", "left")
+        df.join(F.broadcast(small_rows), group_col, "left")
         .withColumn(
             "part_id",
             F.when(
                 F.col("base_id").isNotNull(),
-                F.col("base_id") + F.pmod(F.xxhash64("path"), F.col("n_salts")),
-            ).otherwise(F.lit(base) + F.pmod(F.xxhash64("repo"), F.lit(n_small))),
+                F.col("base_id") + F.pmod(F.xxhash64(salt_col), F.col("n_salts")),
+            ).otherwise(F.lit(base) + F.pmod(F.xxhash64(group_col), F.lit(n_small))),
         )
         .drop("base_id", "n_salts")
     )

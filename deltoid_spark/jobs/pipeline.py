@@ -2,49 +2,92 @@
 
 J1 ``encode``  — table -> compressed blocks + manifest + metrics
 J2 ``decode``  — blocks -> table' (bit-identical)
-J3 ``verify``  — sha256-parity audit of table vs table'
+J3 ``verify``  — digest-parity audit of table vs table'
 
 Dataflow (J1): read parquet -> skew-aware deterministic ``part_id``
 (partitioning.py) -> **one planned shuffle** (``groupBy(part_id)``)
 -> ``applyInPandas`` encode kernel (executor-local numpy; whole
-partition visible so (repo, path) chains are complete) -> blocks
+partition visible so (key...) chains are complete) -> blocks
 parquet + manifest parquet.
 
-Resume (north_rule "resumable from checkpoint"): the manifest is the
-source of truth.  A re-run recomputes part_ids (deterministic),
-anti-joins the committed set, and encodes only the remainder; decode
-reads only manifest-committed partitions and drops duplicate block
-rows from torn writes (re-encoded blocks are byte-identical, so any
-surviving duplicate is harmless).  This mirrors the reference's
-``DeltaSnapshots.current`` head tracking
-(/root/reference/deltoid/src/snapshot/delta.rs:81-125).
+Typed columns: every scalar Spark type routes to a kernel — strings
+through the codec selector (the designated content column through the
+CHAIN trial), int/boolean/timestamp/date through FoR+bit-pack, floats
+through the FP lane codec — mirroring the reference's per-type Delta
+impls from one macro (/root/reference/deltoid/src/core.rs:102-122).
+
+Commit linearization: chains sort by ``order_cols`` within each key
+group (default: ``ts`` when present, then ``commit``), realizing
+SURVEY §3.2's rank linearization — content hashes as commit ids no
+longer scramble version order when a timestamp column exists.
+
+Resume + failure isolation (north_rule "resumable", reference error
+taxonomy /root/reference/deltoid/src/error.rs:143-183): every encode
+run gets a ``run_id`` (tagged on block rows) and a monotonically
+increasing manifest ``gen``.  The manifest is append-only; readers
+resolve each part_id to its latest generation.  A partition whose
+kernel raises emits a single ``codec="error"`` block row -> manifest
+``status="failed"`` with the error text; the job completes, decode
+skips the partition, and a re-run re-encodes exactly the failed /
+missing partitions.  Because decode joins blocks on (part_id, run_id),
+fragments torn off by a crashed run can never mix with a later run's
+fragments (whatever the input split layout) — in any mode.
 
 Zero per-row Python: the only JVM<->Python boundary is Arrow batches
-into the two kernels.
+into the kernels.
 """
 
 from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..kernels import api, chain as chain_kernel, selector, strings
+from ..kernels import api, blocks as blocks_mod, chain as chain_kernel, floats, selector, strings
 from .partitioning import DEFAULT_TARGET_ROWS, assign_partitions
 
+# legacy fixed layout of the code table — the default spec when callers
+# don't pass an explicit schema (fixture tables, streaming ingest)
 COLUMNS = ["repo", "path", "commit", "lang", "content"]
+DEFAULT_SPEC = [(c, "string") for c in COLUMNS]
+DEFAULT_KEY_COLS = ("repo", "path")
+DEFAULT_ORDER_COLS = ("commit",)
+DEFAULT_CONTENT_COL = "content"
 
 BLOCK_SCHEMA = (
     "part_id long, frag_id long, column string, codec string, payload binary, "
-    "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double"
+    "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double, "
+    "run_id string"
 )
 
 ROW_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+# scalar Spark types the encoder routes (simpleString -> logical width)
+_INT_DDL = {"bigint": 8, "int": 4, "smallint": 2, "tinyint": 1}
+_WIDTHS = {**_INT_DDL, "boolean": 1, "timestamp": 8, "date": 4, "float": 4, "double": 8}
+SUPPORTED_DDL = {"string", *_WIDTHS}
+
+_NS_PER_DAY = 86_400 * 10**9
+
+
+def table_spec(df: DataFrame) -> list[tuple[str, str]]:
+    """(name, ddl) per column; rejects non-scalar types up front."""
+    spec = []
+    for f in df.schema.fields:
+        ddl = f.dataType.simpleString()
+        if ddl not in SUPPORTED_DDL:
+            raise ValueError(
+                f"column {f.name!r} has unsupported type {ddl!r}; supported: "
+                f"{sorted(SUPPORTED_DDL)}"
+            )
+        spec.append((f.name, ddl))
+    return spec
 
 
 # ------------------------------------------------------------- J1 encode ----
@@ -59,68 +102,160 @@ def _group_sizes(keys: pd.Series) -> np.ndarray:
     return np.diff(np.concatenate((starts, [n]))).astype(np.int64)
 
 
-def _utf8_bytes(s: pd.Series) -> int:
-    if s.empty:
-        return 0
-    lengths, _ = strings.utf8_view(s)
-    return int(lengths.sum())
+def _key_series(pdf: pd.DataFrame, key_cols: tuple[str, ...]) -> pd.Series:
+    out = pdf[key_cols[0]].astype(str)
+    for k in key_cols[1:]:
+        out = out + "\x00" + pdf[k].astype(str)
+    return out
+
+
+def _storage_int64(s: pd.Series, ddl: str) -> pd.Series:
+    """Convert a non-string scalar column to a nullable Int64 series the
+    FoR kernel can encode (timestamps as epoch ns, dates as epoch days)."""
+    mask = s.isna()
+    if ddl == "timestamp":
+        vals = s.fillna(pd.Timestamp(0)).astype("datetime64[ns]").astype("int64")
+    elif ddl == "date":
+        vals = pd.to_datetime(s).fillna(pd.Timestamp(0)).astype("int64") // _NS_PER_DAY
+    elif ddl == "boolean":
+        vals = s.fillna(False).astype("int64")
+    else:  # int family; nullable ints arrive as float64 from Arrow
+        vals = s.fillna(0).astype("int64")
+    out = pd.Series(np.asarray(vals, dtype=np.int64), dtype="Int64")
+    out[mask.to_numpy()] = pd.NA
+    return out
+
+
+def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
+    """Encode one non-string column; returns (codec, buf, raw_bytes)."""
+    raw = _WIDTHS[ddl] * len(s)
+    if ddl in ("float", "double"):
+        return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw
+    return "for", api.encode_block(_storage_int64(s, ddl), "for"), raw
+
+
+def _encode_content(s: pd.Series, gsizes: np.ndarray, keyframe_interval: int, level) -> tuple[str, bytes]:
+    """CHAIN-encode the content column; fall back to whole-column PLAIN
+    only when a cheap zstd bound says PLAIN could plausibly win.
+
+    The full PLAIN trial used to run unconditionally — an honest but
+    ~2x CPU cost on the dominant column.  The gate compresses a
+    contiguous prefix sample (whole chains, so zstd sees the same
+    cross-version redundancy) and extrapolates; the full trial runs
+    only when the bound lands within 30% of CHAIN's actual size.
+    """
+    buf = chain_kernel.encode_chain(s, gsizes, keyframe_interval=keyframe_interval, level=level)
+    lengths, data = strings.utf8_view(s)
+    sample = data[: max(4096, len(data) // 8)]
+    if sample:
+        est_plain = len(blocks_mod.compress(sample, level)) / len(sample) * len(data)
+    else:
+        est_plain = 0.0
+    if est_plain < len(buf) * 1.3:
+        plain_buf = api.encode_block(s, "plain")
+        if len(plain_buf) < len(buf):
+            return "plain", plain_buf
+    return "chain", buf
 
 
 def _encode_rows(
-    pdf: pd.DataFrame, part_id: int, frag_id: int,
-    keyframe_interval: int, level: int, t0: float,
+    pdf: pd.DataFrame,
+    part_id: int,
+    frag_id: int,
+    spec: list[tuple[str, str]],
+    key_cols: tuple[str, ...],
+    content_col: str | None,
+    keyframe_interval: int,
+    level,
+    run_id: str,
+    t0: float,
 ) -> list[tuple]:
     """Encode one sorted slice of rows into per-column block rows."""
     out = []
-    gsizes = _group_sizes(pdf["repo"] + "\x00" + pdf["path"])
-    for col in COLUMNS:
+    gsizes = _group_sizes(_key_series(pdf, key_cols))
+    for col, ddl in spec:
         s = pdf[col]
-        raw = _utf8_bytes(s)
-        if col == "content" and len(gsizes) < len(s):
-            # trial both content strategies, keep the smaller: CHAIN's
-            # delta scripts vs whole-column PLAIN+zstd (whose window also
-            # dedups adjacent versions) — the winner is data-dependent
-            buf = chain_kernel.encode_chain(
-                s, gsizes, keyframe_interval=keyframe_interval, level=level
-            )
-            plain_buf = api.encode_block(s, "plain")
-            codec = "chain"
-            if len(plain_buf) < len(buf):
-                codec, buf = "plain", plain_buf
+        if ddl == "string":
+            lengths, _ = strings.utf8_view(s)
+            raw = int(lengths.sum())
+            if col == content_col and len(gsizes) < len(s):
+                codec, buf = _encode_content(s, gsizes, keyframe_interval, level)
+            else:
+                codec, _stats, buf = selector.select_and_encode(s)
+            sha = api.sha256_column(s) if col == content_col else None
         else:
-            codec, _stats, buf = selector.select_and_encode(s)
-        sha = api.sha256_column(s) if col == "content" else None
+            codec, buf, raw = _encode_typed(s, ddl)
+            sha = None
         out.append(
             (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
-             time.time() - t0)
+             time.time() - t0, run_id)
         )
     return out
 
 
 _BLOCK_COLS = [
     "part_id", "frag_id", "column", "codec", "payload",
-    "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s",
+    "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s", "run_id",
 ]
 
 
-def make_encode_kernel(keyframe_interval: int = 32, level: int | None = None):
+def _error_row(part_id: int, frag_id: int, n_rows: int, exc: Exception, run_id: str, t0: float) -> tuple:
+    """A failed partition becomes one manifest-visible error record —
+    "fail the partition, not the job" (reference taxonomy error.rs)."""
+    msg = f"{type(exc).__name__}: {exc}".encode("utf-8", "replace")[:4096]
+    return (part_id, frag_id, "*", "error", msg, n_rows, 0, 0, None,
+            time.time() - t0, run_id)
+
+
+def make_encode_kernel(
+    keyframe_interval: int = 32,
+    level: int | None = None,
+    spec: list[tuple[str, str]] | None = None,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    order_cols: tuple[str, ...] = DEFAULT_ORDER_COLS,
+    content_col: str | None = DEFAULT_CONTENT_COL,
+    run_id: str = "local",
+    fail_inject: str | None = None,
+):
+    spec = spec or DEFAULT_SPEC
+    sort_cols = [*key_cols, *order_cols]
+
     def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         part_id = int(pdf["part_id"].iloc[0])
-        pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
-        rows = _encode_rows(pdf, part_id, 0, keyframe_interval, level, t0)
+        try:
+            if fail_inject is not None and (pdf[key_cols[0]] == fail_inject).any():
+                raise RuntimeError(f"injected failure for {fail_inject!r}")
+            pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            rows = _encode_rows(
+                pdf, part_id, 0, spec, key_cols, content_col,
+                keyframe_interval, level, run_id, t0,
+            )
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            rows = [_error_row(part_id, 0, len(pdf), exc, run_id, t0)]
         return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return encode_partition
 
 
-def make_fragment_kernel(keyframe_interval: int = 32, level: int | None = None):
+def make_fragment_kernel(
+    keyframe_interval: int = 32,
+    level: int | None = None,
+    spec: list[tuple[str, str]] | None = None,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    order_cols: tuple[str, ...] = DEFAULT_ORDER_COLS,
+    content_col: str | None = DEFAULT_CONTENT_COL,
+    run_id: str = "local",
+    fail_inject: str | None = None,
+):
     """mapInArrow kernel for *clustered* mode: encode each input split
     in place (no shuffle).  The split's rows are sorted and grouped by
     part_id locally; each (part_id, split) slice becomes a block
     *fragment*.  Chains crossing split boundaries simply start a new
     keyframe — a bounded ratio cost, zero data movement.
     """
+    spec = spec or DEFAULT_SPEC
+    sort_cols = [*key_cols, *order_cols]
 
     def encode_split(batches):
         from pyspark import TaskContext
@@ -132,16 +267,22 @@ def make_fragment_kernel(keyframe_interval: int = 32, level: int | None = None):
         t0 = time.time()
         pdf = pa.Table.from_batches(tables).to_pandas()
         pdf = pdf.sort_values(
-            ["part_id", "repo", "path", "commit"], kind="mergesort"
+            ["part_id", *sort_cols], kind="mergesort"
         ).reset_index(drop=True)
         rows: list[tuple] = []
         for part_id, sub in pdf.groupby("part_id", sort=True):
-            rows.extend(
-                _encode_rows(
-                    sub.reset_index(drop=True), int(part_id), frag_id,
-                    keyframe_interval, level, t0,
+            sub = sub.reset_index(drop=True)
+            try:
+                if fail_inject is not None and (sub[key_cols[0]] == fail_inject).any():
+                    raise RuntimeError(f"injected failure for {fail_inject!r}")
+                rows.extend(
+                    _encode_rows(
+                        sub, int(part_id), frag_id, spec, key_cols,
+                        content_col, keyframe_interval, level, run_id, t0,
+                    )
                 )
-            )
+            except Exception as exc:  # noqa: BLE001
+                rows.append(_error_row(int(part_id), frag_id, len(sub), exc, run_id, t0))
         out = pd.DataFrame(rows, columns=_BLOCK_COLS)
         yield pa.RecordBatch.from_pandas(out, schema=_block_arrow_schema())
 
@@ -156,8 +297,57 @@ def _block_arrow_schema() -> pa.Schema:
             ("payload", pa.binary()), ("n_rows", pa.int64()),
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("sha256", pa.string()), ("wall_s", pa.float64()),
+            ("run_id", pa.string()),
         ]
     )
+
+
+# ----------------------------------------------------- schema/manifest IO ----
+
+
+def _write_table_spec(
+    spark: SparkSession,
+    out_dir: str,
+    spec: list[tuple[str, str]],
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    content_col: str | None,
+) -> None:
+    rows = [
+        (i, name, ddl, name in key_cols, name in order_cols, name == content_col)
+        for i, (name, ddl) in enumerate(spec)
+    ]
+    spark.createDataFrame(
+        rows,
+        "pos int, name string, ddl string, is_key boolean, is_order boolean, is_content boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "schema"))
+
+
+def read_table_spec(spark: SparkSession, out_dir: str) -> dict:
+    rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "schema")).collect(),
+        key=lambda r: r["pos"],
+    )
+    return {
+        "spec": [(r["name"], r["ddl"]) for r in rows],
+        "key_cols": tuple(r["name"] for r in rows if r["is_key"]),
+        "order_cols": tuple(r["name"] for r in rows if r["is_order"]),
+        "content_col": next((r["name"] for r in rows if r["is_content"]), None),
+    }
+
+
+def _manifest_current(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Latest generation per part_id (the append-only manifest's head)."""
+    m = spark.read.parquet(manifest_path)
+    w = Window.partitionBy("part_id").orderBy(F.desc("gen"))
+    return m.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _infer_order_cols(cols: list[str]) -> tuple[str, ...]:
+    """Rank linearization default: a timestamp-ish column first, commit
+    as tie-break — content-hash commit ids alone would scramble chains."""
+    order = tuple(c for c in ("ts", "commit") if c in cols)
+    return order or tuple(cols[-1:])
 
 
 def encode(
@@ -168,71 +358,102 @@ def encode(
     keyframe_interval: int = 32,
     resume: bool = True,
     mode: str = "grouped",
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    order_cols: tuple[str, ...] | None = None,
+    content_col: str | None = "auto",
+    level: int | None = None,
+    _fail_inject: str | None = None,
 ) -> DataFrame:
-    """Run J1; returns the manifest DataFrame for this run.
+    """Run J1; returns the manifest head (latest gen per part_id).
 
     mode="grouped" (default): one shuffle co-locates each part_id, so
-    every (repo, path) chain is delta-encoded whole, and resume works at
+    every key-group chain is delta-encoded whole, and resume works at
     partition granularity.  mode="clustered": zero-shuffle map-side
-    encode for inputs already clustered by (repo, path) — e.g. re-encode
+    encode for inputs already clustered by key_cols — e.g. re-encode
     of previously written Iceberg state; each input split becomes block
     fragments (chains crossing splits restart at a keyframe).  Shuffle
     traffic drops from raw bytes to zero; use for ingest-bandwidth-bound
-    clusters.  Clustered mode resumes at whole-run granularity only.
+    clusters.  run_id tagging makes re-runs safe in both modes: decode
+    only ever sees one run's fragments per partition.
     """
     df = spark.read.parquet(source) if isinstance(source, str) else source
-    df, n_parts = assign_partitions(df.select(*COLUMNS), target_rows)
+    spec = table_spec(df)
+    cols = [name for name, _ in spec]
+    for k in key_cols:
+        if k not in cols:
+            raise ValueError(f"key column {k!r} not in input schema {cols}")
+    if order_cols is None:
+        order_cols = _infer_order_cols([c for c in cols if c not in key_cols])
+    if content_col == "auto":
+        content_col = DEFAULT_CONTENT_COL if DEFAULT_CONTENT_COL in cols else None
+
+    df, n_parts = assign_partitions(df.select(*cols), target_rows, key_cols)
 
     blocks_path = os.path.join(out_dir, "blocks")
     manifest_path = os.path.join(out_dir, "manifest")
+    _write_table_spec(spark, out_dir, spec, key_cols, order_cols, content_col)
 
     if resume and _exists(spark, manifest_path):
-        committed = spark.read.parquet(manifest_path).select("part_id").distinct()
+        committed = (
+            _manifest_current(spark, manifest_path)
+            .filter(F.col("status") == "committed")
+            .select("part_id")
+        )
         df = df.join(F.broadcast(committed), "part_id", "left_anti")
 
-    kernel = make_encode_kernel(keyframe_interval)
+    run_id = uuid.uuid4().hex
+    gen = time.time_ns()
+    kw = dict(
+        keyframe_interval=keyframe_interval, level=level, spec=spec,
+        key_cols=key_cols, order_cols=order_cols, content_col=content_col,
+        run_id=run_id, fail_inject=_fail_inject,
+    )
     if mode == "clustered":
-        blocks = df.mapInArrow(
-            make_fragment_kernel(keyframe_interval), BLOCK_SCHEMA
-        )
+        blocks = df.mapInArrow(make_fragment_kernel(**kw), BLOCK_SCHEMA)
     else:
-        blocks = df.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+        blocks = df.groupBy("part_id").applyInPandas(make_encode_kernel(**kw), BLOCK_SCHEMA)
     blocks.write.mode("append").parquet(blocks_path)
 
-    # manifest from the (tiny) written blocks table: one more scan of
-    # metadata-sized data, no re-encode
-    # after a resume, re-encoded partitions appear twice in blocks —
-    # deterministic encoding makes the copies identical, keep one
-    written = spark.read.parquet(blocks_path).dropDuplicates(
-        ["part_id", "frag_id", "column"]
+    # manifest rows for THIS run only (from the tiny written blocks
+    # table: one metadata-sized scan, no re-encode), appended with a new
+    # generation — readers resolve each part to its latest gen
+    written = (
+        spark.read.parquet(blocks_path)
+        .filter(F.col("run_id") == run_id)
+        .dropDuplicates(["part_id", "frag_id", "column"])
     )
-    manifest = (
-        written.groupBy("part_id")
-        .agg(
-            F.sum(
-                F.when(F.col("column") == "content", F.col("n_rows")).otherwise(0)
-            ).alias("n_rows"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.to_json(
-                F.create_map(
-                    *[
-                        part
-                        for c in COLUMNS
-                        for part in (
-                            F.lit(c),
-                            F.min(F.when(F.col("column") == c, F.col("codec"))),
-                        )
-                    ]
-                )
-            ).alias("codecs"),
-            F.max("sha256").alias("content_sha256"),
-            F.max("wall_s").alias("wall_s"),
-            F.lit("committed").alias("status"),
-        )
+    first_col = spec[0][0]
+    manifest = written.groupBy("part_id").agg(
+        F.sum(
+            F.when(F.col("column").isin(first_col, "*"), F.col("n_rows")).otherwise(0)
+        ).alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.to_json(
+            F.create_map(
+                *[
+                    part
+                    for c in cols
+                    for part in (
+                        F.lit(c),
+                        F.min(F.when(F.col("column") == c, F.col("codec"))),
+                    )
+                ]
+            )
+        ).alias("codecs"),
+        F.max("sha256").alias("content_sha256"),
+        F.max("wall_s").alias("wall_s"),
+        F.when(
+            F.sum(F.when(F.col("codec") == "error", 1).otherwise(0)) > 0, "failed"
+        ).otherwise("committed").alias("status"),
+        F.max(
+            F.when(F.col("codec") == "error", F.col("payload").cast("string"))
+        ).alias("error"),
+        F.lit(run_id).alias("run_id"),
+        F.lit(gen).alias("gen"),
     )
-    manifest.write.mode("overwrite").parquet(manifest_path)
-    return spark.read.parquet(manifest_path)
+    manifest.write.mode("append").parquet(manifest_path)
+    return _manifest_current(spark, manifest_path)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -246,56 +467,107 @@ def _exists(spark: SparkSession, path: str) -> bool:
 # ------------------------------------------------------------- J2 decode ----
 
 
-def _decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-    # torn-write dedupe: deterministic blocks make duplicates identical.
-    # fragments (clustered-mode encode) concatenate in frag_id order —
-    # every column of a fragment covers the same row slice, so per-column
-    # concatenation keeps rows aligned.
-    pdf = pdf.drop_duplicates(subset=["part_id", "frag_id", "column"]).sort_values(
-        ["frag_id", "column"], kind="mergesort"
-    )
-    cols: dict[str, list] = {c: [] for c in COLUMNS}
-    for _, row in pdf.iterrows():
-        cols[row["column"]].append(api.decode_block(bytes(row["payload"])))
-    out = {c: pd.concat(cols[c], ignore_index=True) if cols[c] else pd.Series([], dtype=object)
-           for c in COLUMNS}
-    n = len(out["repo"])
-    return pd.DataFrame(out, index=range(n))
+def _from_storage(s: pd.Series, ddl: str) -> pd.Series:
+    """Cast a decoded storage series back to the column's pandas shape."""
+    if ddl == "string":
+        return s.astype(object) if len(s) else pd.Series([], dtype=object)
+    if ddl in ("float", "double"):
+        return s  # FP codec already yields Float32/Float64 nullable
+    vals = s.astype("Int64")
+    mask = vals.isna().to_numpy()
+    raw = vals.fillna(0).astype("int64")
+    if ddl == "timestamp":
+        out = pd.Series(raw.to_numpy().astype("datetime64[ns]"))
+        out[mask] = pd.NaT
+        return out
+    if ddl == "date":
+        out = pd.Series((raw.to_numpy() * _NS_PER_DAY).astype("datetime64[ns]")).dt.date
+        out = out.astype(object)
+        out[mask] = None
+        return out
+    if ddl == "boolean":
+        out = vals.astype("boolean")
+        return out
+    pd_type = {"bigint": "Int64", "int": "Int32", "smallint": "Int16", "tinyint": "Int8"}[ddl]
+    return vals.astype(pd_type)
+
+
+def make_decode_kernel(spec: list[tuple[str, str]]):
+    names = [n for n, _ in spec]
+
+    def decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        # fragments concatenate in frag_id order — every column of a
+        # fragment covers the same row slice, so per-column concatenation
+        # keeps rows aligned.  (run_id was already resolved by the
+        # manifest join; dedupe is belt for torn same-run writes, whose
+        # deterministic payloads make duplicates identical.)
+        pdf = pdf.drop_duplicates(subset=["part_id", "frag_id", "column"]).sort_values(
+            ["frag_id", "column"], kind="mergesort"
+        )
+        cols: dict[str, list] = {c: [] for c in names}
+        for _, row in pdf.iterrows():
+            if row["column"] in cols:
+                cols[row["column"]].append(api.decode_block(bytes(row["payload"])))
+        out = {}
+        for name, ddl in spec:
+            s = (
+                pd.concat(cols[name], ignore_index=True)
+                if cols[name]
+                else pd.Series([], dtype=object)
+            )
+            out[name] = _from_storage(s, ddl)
+        n = len(out[names[0]])
+        return pd.DataFrame(out, index=range(n))
+
+    return decode_partition
+
+
+# retained for callers that decode the fixed code-table layout directly
+_decode_partition = make_decode_kernel(DEFAULT_SPEC)
 
 
 def decode(spark: SparkSession, out_dir: str) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks."""
+    info = read_table_spec(spark, out_dir)
+    row_schema = ", ".join(f"{name} {ddl}" for name, ddl in info["spec"])
     blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
-    committed = (
-        spark.read.parquet(os.path.join(out_dir, "manifest"))
+    current = (
+        _manifest_current(spark, os.path.join(out_dir, "manifest"))
         .filter(F.col("status") == "committed")
-        .select("part_id")
+        .select("part_id", "run_id")
     )
-    blocks = blocks.join(F.broadcast(committed), "part_id", "left_semi")
-    return blocks.groupBy("part_id").applyInPandas(_decode_partition, ROW_SCHEMA)
+    blocks = blocks.join(F.broadcast(current), ["part_id", "run_id"], "left_semi")
+    return blocks.groupBy("part_id").applyInPandas(
+        make_decode_kernel(info["spec"]), row_schema
+    )
 
 
 # ------------------------------------------------------------- J3 verify ----
 
 
-def verify(spark: SparkSession, original: DataFrame, decoded: DataFrame) -> dict:
-    """sha256-parity audit per row (BASELINE.json per-row invariant).
+def verify(
+    spark: SparkSession,
+    original: DataFrame,
+    decoded: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> dict:
+    """Digest-parity audit per row (BASELINE.json per-row invariant).
 
-    Joins on (repo, path, commit) and compares sha2(content) both
-    sides; also checks no rows were lost or invented.
+    Joins on key_cols and compares a null-flagged digest over every
+    other column; pre-aggregating per key makes duplicated/lost copies
+    of a key visible without extra count() actions over each input.
     """
+    value_cols = [c for c in original.columns if c not in key_cols]
+
     def prep(df, tag):
-        # null state is hashed explicitly (a literal sentinel string could
-        # collide with real content equal to the sentinel); pre-aggregating
-        # per key makes duplicated/lost copies of a key visible in n_<tag>
-        # without a separate count() action over each input
-        digest = F.concat(
-            F.col("content").isNull().cast("string"),
-            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
-        )
+        parts = []
+        for c in value_cols:
+            parts.append(F.col(c).isNull().cast("string"))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        digest = F.sha2(F.concat_ws("\x01", *parts), 256)
         return (
-            df.select("repo", "path", "commit", digest.alias("d"))
-            .groupBy("repo", "path", "commit")
+            df.select(*key_cols, digest.alias("d"))
+            .groupBy(*key_cols)
             .agg(
                 F.count("*").alias(f"n_{tag}"),
                 F.min("d").alias(f"dmin_{tag}"),
@@ -303,7 +575,7 @@ def verify(spark: SparkSession, original: DataFrame, decoded: DataFrame) -> dict
             )
         )
 
-    j = prep(original, "a").join(prep(decoded, "b"), ["repo", "path", "commit"], "full")
+    j = prep(original, "a").join(prep(decoded, "b"), list(key_cols), "full")
     bad = (
         (F.col("n_a") != F.col("n_b"))
         | (F.col("dmin_a") != F.col("dmin_b"))
@@ -338,11 +610,13 @@ def metrics_summary(manifest: DataFrame) -> dict:
         F.sum("enc_bytes").alias("enc"),
         F.sum("n_rows").alias("rows"),
         F.count("*").alias("partitions"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
     ).collect()[0]
     raw, enc = int(row["raw"] or 0), int(row["enc"] or 0)
     return {
         "rows": int(row["rows"] or 0),
         "partitions": int(row["partitions"] or 0),
+        "failed_partitions": int(row["failed"] or 0),
         "raw_bytes": raw,
         "enc_bytes": enc,
         "ratio": enc / raw if raw else None,

@@ -7,7 +7,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from . import blocks, chain, fsst, intcodec, strings
+from . import blocks, chain, floats, fsst, intcodec, strings
 
 STRING_CODECS = ("plain", "dict", "rle", "hex", "fsst")
 
@@ -25,6 +25,8 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
         return fsst.encode_fsst(series, **kw)
     if codec == "for":
         return intcodec.encode_for(series)
+    if codec == "fp":
+        return floats.encode_fp(series, **kw)
     if codec == "chain":
         return chain.encode_chain(series, **kw)
     raise ValueError(f"unknown codec {codec!r}")
@@ -44,6 +46,8 @@ def decode_block(buf: bytes) -> pd.Series:
         return fsst.decode_fsst(meta, payload)
     if codec == "for":
         return intcodec.decode_for(meta, payload)
+    if codec == "fp":
+        return floats.decode_fp(meta, payload)
     if codec == "chain":
         return chain.decode_chain(meta, payload)
     raise ValueError(f"unknown codec {codec!r}")

@@ -37,6 +37,7 @@ CODEC_IDS = {
     "fsst": 4,
     "chain": 5,
     "hex": 6,
+    "fp": 7,  # fixed-width IEEE float lanes + zstd
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

@@ -283,3 +283,38 @@ def test_hex_not_selected_on_odd_length_value():
     codec, _ = selector.select_codec(s)
     out = api.decode_block(api.encode_block(s, codec))
     assert out.tolist() == s.tolist()
+
+
+class TestFloats:
+    def test_roundtrip_doubles(self):
+        import numpy as np
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        s = pd.Series([0.0, -1.5, 3.14159, np.inf, -np.inf, 1e-308, None])
+        dec = api.decode_block(api.encode_block(s, "fp"))
+        for a, b in zip(s.tolist(), dec.tolist()):
+            if pd.isna(a):
+                assert pd.isna(b)
+            else:
+                assert a == b, (a, b)
+
+    def test_roundtrip_float32(self):
+        import numpy as np
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        s = pd.Series(np.array([1.25, -0.5, 65504.0], dtype=np.float32))
+        dec = api.decode_block(api.encode_block(s, "fp", width=4))
+        assert dec.tolist() == s.tolist()
+        assert str(dec.dtype) == "Float32"
+
+    def test_empty(self):
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        dec = api.decode_block(api.encode_block(pd.Series([], dtype="float64"), "fp"))
+        assert len(dec) == 0

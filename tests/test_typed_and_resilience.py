@@ -1,0 +1,162 @@
+"""Typed-column encode, per-partition failure isolation, torn-run
+safety, and commit-rank linearization (VERDICT round-1 items 4, 7, 8 +
+the ADVICE clustered-corruption finding)."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltoid_spark.fixtures import codegen
+from deltoid_spark.jobs import decode, encode, metrics_summary, verify
+
+TYPED_DDL = (
+    "repo string, path string, commit string, lang string, content string, "
+    "n_lines int, stars bigint, score double, active boolean, "
+    "created date, ts timestamp"
+)
+
+
+def _typed_rows():
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                f"org/r{i % 3}",
+                f"src/p{i % 40}.py",
+                f"c{i:06d}",
+                "python",
+                f"line{i}\nline{i + 1}\nshared tail",
+                i % 50,
+                (1 << 40) + i * 1_000_003,
+                i / 3.0,
+                i % 2 == 0,
+                datetime.date(2020, 1, 1) + datetime.timedelta(days=i % 300),
+                datetime.datetime(2021, 1, 1) + datetime.timedelta(hours=i),
+            )
+        )
+    # null payloads in every typed column (and one null content)
+    rows.append(("org/r0", "src/null.py", "cnull01", "python", None,
+                 None, None, None, None, None, None))
+    return rows
+
+
+def test_typed_columns_roundtrip(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("typed"))
+    df = spark.createDataFrame(_typed_rows(), TYPED_DDL)
+    manifest = encode(spark, df, out, target_rows=100)
+    summary = metrics_summary(manifest)
+    assert summary["rows"] == df.count()
+    assert summary["failed_partitions"] == 0
+    assert summary["enc_bytes"] < summary["raw_bytes"]
+
+    decoded = decode(spark, out)
+    assert dict(decoded.dtypes) == dict(df.dtypes)
+    report = verify(spark, df, decoded)
+    assert report["ok"], report
+
+    # spot-check exact typed values (incl. the all-null row)
+    key = ("org/r0", "src/p0.py", "c000000")
+    orig = df.filter(
+        (F.col("repo") == key[0]) & (F.col("path") == key[1]) & (F.col("commit") == key[2])
+    ).collect()[0]
+    got = decoded.filter(
+        (F.col("repo") == key[0]) & (F.col("path") == key[1]) & (F.col("commit") == key[2])
+    ).collect()[0]
+    assert tuple(got) == tuple(orig)
+    nul = decoded.filter(F.col("path") == "src/null.py").collect()[0]
+    assert all(nul[c] is None for c in ("content", "n_lines", "stars", "score",
+                                        "active", "created", "ts"))
+
+
+def test_unsupported_type_rejected(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("unsup"))
+    df = spark.createDataFrame([("a", ["x"])], "repo string, tags array<string>")
+    with pytest.raises(ValueError, match="unsupported type"):
+        encode(spark, df, out, key_cols=("repo", "repo"))
+
+
+def test_failed_partition_isolated_and_healed(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("poison"))
+    pdf = codegen.generate(2_000)
+    df = spark.createDataFrame(pdf)
+
+    manifest = encode(spark, df, out, target_rows=500, _fail_inject="org0/repo0")
+    rows = manifest.collect()
+    failed = [r for r in rows if r["status"] == "failed"]
+    ok = [r for r in rows if r["status"] == "committed"]
+    assert failed and ok, "giant repo partitions must fail; others commit"
+    assert all("injected failure" in r["error"] for r in failed)
+
+    # decode skips failed partitions but the job completed end-to-end
+    partial = decode(spark, out)
+    n_poisoned = len(pdf[pdf["repo"] == "org0/repo0"])
+    assert partial.count() == len(pdf) - n_poisoned
+    assert partial.filter(F.col("repo") == "org0/repo0").count() == 0
+
+    # re-run without the poison: only failed partitions re-encode; full parity
+    healed = encode(spark, df, out, target_rows=500)
+    assert all(r["status"] == "committed" for r in healed.collect())
+    report = verify(spark, df, decode(spark, out))
+    assert report["ok"], report
+
+
+def test_clustered_rerun_after_torn_manifest(spark, tmp_path_factory):
+    """ADVICE scenario: clustered blocks survive a crash that lost the
+    manifest; a re-run with a DIFFERENT split layout must not mix old
+    and new fragments (run_id scoping)."""
+    pdf = codegen.generate(2_000)
+    out = str(tmp_path_factory.mktemp("torn"))
+
+    src_a = str(tmp_path_factory.mktemp("src_a"))
+    codegen.write_parquet(pdf, src_a, n_shards=8)
+    encode(spark, spark.read.parquet(src_a), out, target_rows=500, mode="clustered")
+
+    # crash simulation: blocks persisted, manifest lost
+    shutil.rmtree(f"{out}/manifest")
+
+    src_b = str(tmp_path_factory.mktemp("src_b"))
+    codegen.write_parquet(pdf, src_b, n_shards=3)  # different fragment layout
+    sdf_b = spark.read.parquet(src_b)
+    encode(spark, sdf_b, out, target_rows=500, mode="clustered")
+
+    decoded = decode(spark, out)
+    assert decoded.count() == len(pdf)
+    assert verify(spark, sdf_b, decoded)["ok"]
+
+
+def test_hash_commit_linearization_via_ts(spark, tmp_path_factory):
+    """Content-hash commits scramble lexical order; with a ts column the
+    encoder linearizes chains by commit time, recovering the ratio."""
+    base = codegen.generate(2_000)
+    hashed = codegen.generate(2_000, sortable_commits=False, with_ts=True)
+    assert sorted(base["content"]) == sorted(hashed["content"])  # same payloads
+
+    def content_enc_bytes(pdf, name, **kw):
+        out = str(tmp_path_factory.mktemp(name))
+        encode(spark, spark.createDataFrame(pdf), out, target_rows=500, **kw)
+        blk = spark.read.parquet(f"{out}/blocks")
+        return blk.filter(F.col("column") == "content").agg(
+            F.sum("enc_bytes")
+        ).collect()[0][0]
+
+    sortable = content_enc_bytes(base, "sortable")
+    linearized = content_enc_bytes(hashed, "lin")  # order_cols inferred: (ts, commit)
+    scrambled = content_enc_bytes(
+        hashed.drop(columns=["ts"]), "scram"
+    )  # only hash commits to sort by: chains diff unrelated versions
+
+    assert linearized < sortable * 1.10, (linearized, sortable)
+    # scrambled chains cost more; the penalty is BOUNDED because the
+    # per-partition PLAIN fallback rescues scrambled groups (zstd's
+    # window dedups near-identical versions in any order) — by design
+    assert scrambled > linearized * 1.05, (scrambled, linearized)
+
+    # and the linearized encode still round-trips (ts column included)
+    out = str(tmp_path_factory.mktemp("lin_rt"))
+    hdf = spark.createDataFrame(hashed)
+    encode(spark, hdf, out, target_rows=500)
+    assert verify(spark, hdf, decode(spark, out))["ok"]
