@@ -1,2 +1,9 @@
 from .partitioning import assign_partitions  # noqa: F401
-from .pipeline import decode, encode, metrics_summary, verify  # noqa: F401
+from .pipeline import (  # noqa: F401
+    compact,
+    decode,
+    encode,
+    encode_append,
+    metrics_summary,
+    verify,
+)

@@ -42,7 +42,24 @@ def assign_partitions(
     salted by key_cols[1] (path) so chains keyed by the full key tuple
     never split.
     """
-    group_col, salt_col = key_cols[0], key_cols[1]
+    salt_map, base, n_small = build_partition_map(df, target_rows, key_cols)
+    out = apply_partition_map(df, salt_map, base, n_small, key_cols)
+    return out, base + n_small
+
+
+def build_partition_map(
+    df: DataFrame,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> tuple[list[tuple[str, int, int]], int, int]:
+    """Derive (giant salt map, giant base, n_small_buckets) from the data.
+
+    The map is a tiny, persistable artifact: append runs must reuse the
+    ORIGINAL map so new rows land in the same partitions as the chains
+    they extend (a re-derived map from a different batch would remap
+    everything).
+    """
+    group_col = key_cols[0]
     # one aggregate over the group key: tiny output, cached so the giants
     # filter and the global total reuse it instead of rescanning the input
     counts = df.groupBy(group_col).agg(F.count("*").alias("n")).cache()
@@ -52,23 +69,37 @@ def assign_partitions(
     ]
     giants.sort()  # deterministic base-id assignment
     base = 0
-    salt_map: list[tuple[str, int, int]] = []  # repo, base_id, n_salts
-    for repo, n in giants:
+    salt_map: list[tuple[str, int, int]] = []  # group, base_id, n_salts
+    for grp, n in giants:
         n_salts = math.ceil(n / target_rows)
-        salt_map.append((repo, base, n_salts))
+        salt_map.append((grp, base, n_salts))
         base += n_salts
-
-    small_rows = df.sparkSession.createDataFrame(
-        [(r, b, s) for r, b, s in salt_map],
-        f"{group_col} string, base_id long, n_salts long",
-    )
-    # how many buckets for the long tail of small repos
+    # how many buckets for the long tail of small groups
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     counts.unpersist()
     giant_total = sum(n for _, n in giants)
     n_small = max(1, math.ceil((total - giant_total) / target_rows))
+    return salt_map, base, n_small
 
-    out = (
+
+def apply_partition_map(
+    df: DataFrame,
+    salt_map: list[tuple[str, int, int]],
+    base: int,
+    n_small: int,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """Assign part_ids from a (possibly persisted) partition map.
+
+    Groups not in the map — e.g. repos first seen by an append batch —
+    hash into the shared small-bucket range, so the map stays valid as
+    the table grows (compaction can rebalance later)."""
+    group_col, salt_col = key_cols[0], key_cols[1]
+    small_rows = df.sparkSession.createDataFrame(
+        [(r, b, s) for r, b, s in salt_map],
+        f"{group_col} string, base_id long, n_salts long",
+    )
+    return (
         df.join(F.broadcast(small_rows), group_col, "left")
         .withColumn(
             "part_id",
@@ -79,4 +110,3 @@ def assign_partitions(
         )
         .drop("base_id", "n_salts")
     )
-    return out, base + n_small

@@ -50,7 +50,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..kernels import api, blocks as blocks_mod, chain as chain_kernel, floats, selector, strings
-from .partitioning import DEFAULT_TARGET_ROWS, assign_partitions
+from .partitioning import (
+    DEFAULT_TARGET_ROWS,
+    apply_partition_map,
+    build_partition_map,
+)
 
 # legacy fixed layout of the code table — the default spec when callers
 # don't pass an explicit schema (fixture tables, streaming ingest)
@@ -134,7 +138,18 @@ def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
     return "for", api.encode_block(_storage_int64(s, ddl), "for"), raw
 
 
-def _encode_content(s: pd.Series, gsizes: np.ndarray, keyframe_interval: int, level) -> tuple[str, bytes]:
+def _group_starts(gsizes: np.ndarray) -> np.ndarray:
+    return np.concatenate(([0], np.cumsum(gsizes)[:-1])).astype(np.int64)
+
+
+def _encode_content(
+    s: pd.Series,
+    gsizes: np.ndarray,
+    keyframe_interval: int,
+    level,
+    base_texts: list | None = None,
+    base_versions: np.ndarray | None = None,
+) -> tuple[str, bytes]:
     """CHAIN-encode the content column; fall back to whole-column PLAIN
     only when a cheap zstd bound says PLAIN could plausibly win.
 
@@ -144,7 +159,14 @@ def _encode_content(s: pd.Series, gsizes: np.ndarray, keyframe_interval: int, le
     cross-version redundancy) and extrapolates; the full trial runs
     only when the bound lands within 30% of CHAIN's actual size.
     """
-    buf = chain_kernel.encode_chain(s, gsizes, keyframe_interval=keyframe_interval, level=level)
+    buf = chain_kernel.encode_chain(
+        s, gsizes, keyframe_interval=keyframe_interval, level=level,
+        base_texts=base_texts, base_versions=base_versions,
+    )
+    if base_texts is not None and any(t is not None for t in base_texts):
+        # a seeded fragment must stay CHAIN: whole-column PLAIN can't
+        # continue chains and seeded deltas are near-minimal anyway
+        return "chain", buf
     lengths, data = strings.utf8_view(s)
     sample = data[: max(4096, len(data) // 8)]
     if sample:
@@ -169,17 +191,36 @@ def _encode_rows(
     level,
     run_id: str,
     t0: float,
+    tails: dict | None = None,
+    tail_counts: dict | None = None,
 ) -> list[tuple]:
-    """Encode one sorted slice of rows into per-column block rows."""
+    """Encode one sorted slice of rows into per-column block rows.
+
+    tails / tail_counts (from decoded prior fragments) seed chain groups
+    that continue an existing (key...) chain — the incremental
+    ``push_snapshot`` path (delta.rs:108-125)."""
     out = []
-    gsizes = _group_sizes(_key_series(pdf, key_cols))
+    keys = _key_series(pdf, key_cols)
+    gsizes = _group_sizes(keys)
+    base_texts = None
+    base_versions = None
+    if tails:
+        starts = _group_starts(gsizes)
+        gkeys = keys.to_numpy(dtype=object)[starts] if len(starts) else []
+        base_texts = [tails.get(k) for k in gkeys]
+        base_versions = np.array(
+            [tail_counts.get(k, 0) if tails.get(k) is not None else 0 for k in gkeys],
+            dtype=np.int64,
+        )
     for col, ddl in spec:
         s = pdf[col]
         if ddl == "string":
             lengths, _ = strings.utf8_view(s)
             raw = int(lengths.sum())
-            if col == content_col and len(gsizes) < len(s):
-                codec, buf = _encode_content(s, gsizes, keyframe_interval, level)
+            if col == content_col and (len(gsizes) < len(s) or tails):
+                codec, buf = _encode_content(
+                    s, gsizes, keyframe_interval, level, base_texts, base_versions
+                )
             else:
                 codec, _stats, buf = selector.select_and_encode(s)
             sha = api.sha256_column(s) if col == content_col else None
@@ -336,11 +377,41 @@ def read_table_spec(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
-def _manifest_current(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Latest generation per part_id (the append-only manifest's head)."""
+def _manifest_active(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """The manifest's active rows per part_id: the latest "replace"
+    generation plus every later "append" generation (incremental batches
+    extending that base).  Earlier replace rows and appends that a newer
+    replace superseded (compaction) drop out."""
     m = spark.read.parquet(manifest_path)
-    w = Window.partitionBy("part_id").orderBy(F.desc("gen"))
-    return m.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    w = Window.partitionBy("part_id")
+    last_rep = F.max(F.when(F.col("kind") == "replace", F.col("gen"))).over(w)
+    return (
+        m.withColumn("_lr", last_rep)
+        .filter(
+            ((F.col("kind") == "replace") & (F.col("gen") == F.col("_lr")))
+            | ((F.col("kind") == "append") & (F.col("gen") > F.col("_lr")))
+        )
+        .drop("_lr")
+    )
+
+
+def _write_partition_map(
+    spark: SparkSession, out_dir: str, salt_map, base: int, n_small: int
+) -> None:
+    rows = [(g, b, s) for g, b, s in salt_map] + [(None, base, n_small)]
+    spark.createDataFrame(
+        rows, "grp string, base_id long, n_salts long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "partmap"))
+
+
+def _read_partition_map(spark: SparkSession, out_dir: str):
+    rows = spark.read.parquet(os.path.join(out_dir, "partmap")).collect()
+    salt_map = [
+        (r["grp"], r["base_id"], r["n_salts"]) for r in rows if r["grp"] is not None
+    ]
+    salt_map.sort(key=lambda t: t[1])
+    sentinel = next(r for r in rows if r["grp"] is None)
+    return salt_map, int(sentinel["base_id"]), int(sentinel["n_salts"])
 
 
 def _infer_order_cols(cols: list[str]) -> tuple[str, ...]:
@@ -387,16 +458,25 @@ def encode(
     if content_col == "auto":
         content_col = DEFAULT_CONTENT_COL if DEFAULT_CONTENT_COL in cols else None
 
-    df, n_parts = assign_partitions(df.select(*cols), target_rows, key_cols)
-
     blocks_path = os.path.join(out_dir, "blocks")
     manifest_path = os.path.join(out_dir, "manifest")
     _write_table_spec(spark, out_dir, spec, key_cols, order_cols, content_col)
 
+    # the partition map persists so a resume (and any later append run)
+    # reuses the ORIGINAL part_id layout instead of re-deriving one
+    if _exists(spark, os.path.join(out_dir, "partmap")):
+        salt_map, pbase, n_small = _read_partition_map(spark, out_dir)
+    else:
+        salt_map, pbase, n_small = build_partition_map(
+            df.select(*cols), target_rows, key_cols
+        )
+        _write_partition_map(spark, out_dir, salt_map, pbase, n_small)
+    df = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
+
     if resume and _exists(spark, manifest_path):
         committed = (
-            _manifest_current(spark, manifest_path)
-            .filter(F.col("status") == "committed")
+            _manifest_active(spark, manifest_path)
+            .filter((F.col("kind") == "replace") & (F.col("status") == "committed"))
             .select("part_id")
         )
         df = df.join(F.broadcast(committed), "part_id", "left_anti")
@@ -417,11 +497,32 @@ def encode(
     # manifest rows for THIS run only (from the tiny written blocks
     # table: one metadata-sized scan, no re-encode), appended with a new
     # generation — readers resolve each part to its latest gen
+    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "replace")
+    return _manifest_active(spark, manifest_path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+# -------------------------------------------------- incremental append ----
+
+
+def _manifest_rows_for_run(
+    spark: SparkSession, out_dir: str, run_id: str, gen: int,
+    spec: list[tuple[str, str]], kind: str,
+) -> None:
+    """Aggregate this run's written blocks into manifest rows (append)."""
     written = (
-        spark.read.parquet(blocks_path)
+        spark.read.parquet(os.path.join(out_dir, "blocks"))
         .filter(F.col("run_id") == run_id)
         .dropDuplicates(["part_id", "frag_id", "column"])
     )
+    cols = [name for name, _ in spec]
     first_col = spec[0][0]
     manifest = written.groupBy("part_id").agg(
         F.sum(
@@ -451,17 +552,136 @@ def encode(
         ).alias("error"),
         F.lit(run_id).alias("run_id"),
         F.lit(gen).alias("gen"),
+        F.lit(kind).alias("kind"),
     )
-    manifest.write.mode("append").parquet(manifest_path)
-    return _manifest_current(spark, manifest_path)
+    manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
-    try:
-        spark.read.parquet(path).limit(1).collect()
-        return True
-    except Exception:
-        return False
+def make_append_kernel(
+    spec: list[tuple[str, str]],
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    content_col: str | None,
+    keyframe_interval: int,
+    level: int | None,
+    run_id: str,
+):
+    """Cogroup kernel: (new rows, existing active blocks) per part_id.
+
+    Decodes the partition's existing fragments executor-side to recover
+    each chain's tail text and version count, then encodes the new rows
+    as a continuation fragment whose chain groups delta against those
+    tails (reference ``push_snapshot``, delta.rs:108-125).
+    """
+    sort_cols = [*key_cols, *order_cols]
+
+    def append_partition(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        if left.empty:
+            return pd.DataFrame(columns=_BLOCK_COLS)
+        part_id = int(left["part_id"].iloc[0])
+        frag_id = int(right["frag_id"].max()) + 1 if len(right) else 0
+        try:
+            _rows, tails, tail_counts = _decode_fragments(
+                right, spec, key_cols, content_col
+            )
+            pdf = left.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            rows = _encode_rows(
+                pdf, part_id, frag_id, spec, key_cols, content_col,
+                keyframe_interval, level, run_id, t0,
+                tails=tails, tail_counts=tail_counts,
+            )
+        except Exception as exc:  # noqa: BLE001
+            rows = [_error_row(part_id, frag_id, len(left), exc, run_id, t0)]
+        return pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+    return append_partition
+
+
+def encode_append(
+    spark: SparkSession,
+    source: DataFrame | str,
+    out_dir: str,
+    keyframe_interval: int = 32,
+    level: int | None = None,
+) -> DataFrame:
+    """Incrementally encode a new batch into existing state (A18).
+
+    New rows join their partitions via the persisted partition map;
+    each touched partition's existing blocks cogroup with the new rows
+    so chains EXTEND (delta against the stored tail) instead of
+    restarting at keyframes.  Output is a new fragment per partition
+    under a fresh run_id + manifest generation of kind="append".
+    """
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    info = read_table_spec(spark, out_dir)
+    spec, key_cols = info["spec"], info["key_cols"]
+    cols = [name for name, _ in spec]
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = dict(spec)
+    if {k: got.get(k) for k in want} != want:
+        raise ValueError(f"append batch schema {got} != stored spec {want}")
+
+    salt_map, pbase, n_small = _read_partition_map(spark, out_dir)
+    dfp = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
+
+    touched = dfp.select("part_id").distinct()
+    existing = _active_blocks(spark, out_dir).join(
+        F.broadcast(touched), "part_id", "left_semi"
+    )
+
+    run_id = uuid.uuid4().hex
+    gen = time.time_ns()
+    kernel = make_append_kernel(
+        spec, key_cols, info["order_cols"], info["content_col"],
+        keyframe_interval, level, run_id,
+    )
+    new_blocks = (
+        dfp.groupBy("part_id")
+        .cogroup(existing.groupBy("part_id"))
+        .applyInPandas(kernel, BLOCK_SCHEMA)
+    )
+    new_blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append")
+    return _manifest_active(spark, os.path.join(out_dir, "manifest"))
+
+
+def compact(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-encode partitions that have accumulated append fragments into a
+    single fresh fragment (A17: the codec selector re-runs over the full
+    partition, so a drifted column switches codec wholesale — the
+    cross-variant full re-encode of gen/enums.rs:544-550).
+
+    Old blocks stay on disk but drop out of the manifest resolution
+    (the new kind="replace" generation supersedes them); a vacuum pass
+    can reclaim them.
+    """
+    info = read_table_spec(spark, out_dir)
+    manifest_path = os.path.join(out_dir, "manifest")
+    multi = (
+        _manifest_active(spark, manifest_path)
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("part_id")
+    )
+    if not multi.take(1):
+        return _manifest_active(spark, manifest_path)
+
+    rows = decode(spark, out_dir, with_part_id=True).join(
+        F.broadcast(multi), "part_id", "left_semi"
+    )
+    run_id = uuid.uuid4().hex
+    gen = time.time_ns()
+    kernel = make_encode_kernel(
+        spec=info["spec"], key_cols=info["key_cols"],
+        order_cols=info["order_cols"], content_col=info["content_col"],
+        run_id=run_id,
+    )
+    blocks = rows.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+    blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+    _manifest_rows_for_run(spark, out_dir, run_id, gen, info["spec"], "replace")
+    return _manifest_active(spark, manifest_path)
 
 
 # ------------------------------------------------------------- J2 decode ----
@@ -492,32 +712,76 @@ def _from_storage(s: pd.Series, ddl: str) -> pd.Series:
     return vals.astype(pd_type)
 
 
-def make_decode_kernel(spec: list[tuple[str, str]]):
+def _decode_fragments(
+    pdf: pd.DataFrame,
+    spec: list[tuple[str, str]],
+    key_cols: tuple[str, ...],
+    content_col: str | None,
+) -> tuple[pd.DataFrame, dict, dict]:
+    """Decode one partition's block rows fragment by fragment, threading
+    chain tails: a fragment appended by a later run (higher gen) may
+    seed its chain groups from earlier fragments' last versions.
+
+    Returns (rows_df, tails, tail_counts) so the append kernel can reuse
+    the threaded state directly.
+    """
+    names = [n for n, _ in spec]
+    if "gen" not in pdf.columns:
+        pdf = pdf.assign(gen=0)
+    pdf = pdf.drop_duplicates(subset=["gen", "part_id", "frag_id", "column"]).sort_values(
+        ["gen", "frag_id", "column"], kind="mergesort"
+    )
+    frames: list[pd.DataFrame] = []
+    tails: dict = {}
+    tail_counts: dict = {}
+    for (_gen, _frag), sub in pdf.groupby(["gen", "frag_id"], sort=True):
+        bufs = {
+            r["column"]: bytes(r["payload"])
+            for _, r in sub.iterrows()
+            if r["column"] in names
+        }
+        if not bufs:
+            continue  # error rows only (excluded upstream; belt here)
+        fr: dict[str, pd.Series] = {}
+        for name, ddl in spec:
+            if name == content_col:
+                continue
+            fr[name] = _from_storage(api.decode_block(bufs[name]), ddl)
+        keys = _key_series(pd.DataFrame(fr), key_cols) if fr else pd.Series([], dtype=object)
+        if content_col is not None:
+            gsizes = _group_sizes(keys)
+            starts = _group_starts(gsizes)
+            gkeys = keys.to_numpy(dtype=object)[starts] if len(starts) else []
+            content = api.decode_block(
+                bufs[content_col], base_texts=[tails.get(k) for k in gkeys]
+            )
+            fr[content_col] = _from_storage(content, "string")
+            # update threaded tails: last version per key group
+            if len(keys):
+                last = pd.DataFrame({"k": keys, "c": fr[content_col]}).drop_duplicates(
+                    "k", keep="last"
+                )
+                tails.update(zip(last["k"], last["c"]))
+                for k, c in keys.value_counts().items():
+                    tail_counts[k] = tail_counts.get(k, 0) + int(c)
+        frames.append(pd.DataFrame({n: fr[n] for n in names}))
+    if not frames:
+        empty = {n: _from_storage(pd.Series([], dtype=object), ddl) for n, ddl in spec}
+        return pd.DataFrame(empty), tails, tail_counts
+    out = pd.concat(frames, ignore_index=True)
+    return out, tails, tail_counts
+
+
+def make_decode_kernel(
+    spec: list[tuple[str, str]],
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    content_col: str | None = DEFAULT_CONTENT_COL,
+):
     names = [n for n, _ in spec]
 
     def decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        # fragments concatenate in frag_id order — every column of a
-        # fragment covers the same row slice, so per-column concatenation
-        # keeps rows aligned.  (run_id was already resolved by the
-        # manifest join; dedupe is belt for torn same-run writes, whose
-        # deterministic payloads make duplicates identical.)
-        pdf = pdf.drop_duplicates(subset=["part_id", "frag_id", "column"]).sort_values(
-            ["frag_id", "column"], kind="mergesort"
-        )
-        cols: dict[str, list] = {c: [] for c in names}
-        for _, row in pdf.iterrows():
-            if row["column"] in cols:
-                cols[row["column"]].append(api.decode_block(bytes(row["payload"])))
-        out = {}
-        for name, ddl in spec:
-            s = (
-                pd.concat(cols[name], ignore_index=True)
-                if cols[name]
-                else pd.Series([], dtype=object)
-            )
-            out[name] = _from_storage(s, ddl)
-        n = len(out[names[0]])
-        return pd.DataFrame(out, index=range(n))
+        out, _tails, _counts = _decode_fragments(pdf, spec, key_cols, content_col)
+        return out.reset_index(drop=True)[names]
 
     return decode_partition
 
@@ -526,20 +790,36 @@ def make_decode_kernel(spec: list[tuple[str, str]]):
 _decode_partition = make_decode_kernel(DEFAULT_SPEC)
 
 
-def decode(spark: SparkSession, out_dir: str) -> DataFrame:
+def _active_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Block rows belonging to active committed manifest entries, with
+    the manifest generation attached (fragment replay order)."""
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    active = (
+        _manifest_active(spark, os.path.join(out_dir, "manifest"))
+        .filter(F.col("status") == "committed")
+        .select("part_id", "run_id", "gen")
+    )
+    return blocks.join(F.broadcast(active), ["part_id", "run_id"])
+
+
+def decode(spark: SparkSession, out_dir: str, with_part_id: bool = False) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks."""
     info = read_table_spec(spark, out_dir)
     row_schema = ", ".join(f"{name} {ddl}" for name, ddl in info["spec"])
-    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
-    current = (
-        _manifest_current(spark, os.path.join(out_dir, "manifest"))
-        .filter(F.col("status") == "committed")
-        .select("part_id", "run_id")
-    )
-    blocks = blocks.join(F.broadcast(current), ["part_id", "run_id"], "left_semi")
-    return blocks.groupBy("part_id").applyInPandas(
-        make_decode_kernel(info["spec"]), row_schema
-    )
+    kernel = make_decode_kernel(info["spec"], info["key_cols"], info["content_col"])
+    blocks = _active_blocks(spark, out_dir)
+    if with_part_id:
+        names = [n for n, _ in info["spec"]]
+
+        def kernel_with_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = kernel(pdf)
+            out.insert(0, "part_id", int(pdf["part_id"].iloc[0]))
+            return out
+
+        return blocks.groupBy("part_id").applyInPandas(
+            kernel_with_part, f"part_id long, {row_schema}"
+        )
+    return blocks.groupBy("part_id").applyInPandas(kernel, row_schema)
 
 
 # ------------------------------------------------------------- J3 verify ----

@@ -32,8 +32,10 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
     raise ValueError(f"unknown codec {codec!r}")
 
 
-def decode_block(buf: bytes) -> pd.Series:
+def decode_block(buf: bytes, **kw) -> pd.Series:
     codec, meta, payload = blocks.unframe(buf)
+    if codec == "chain" and kw:
+        return chain.decode_chain(meta, payload, **kw)
     if codec == "plain":
         return strings.decode_plain(meta, payload)
     if codec == "dict":

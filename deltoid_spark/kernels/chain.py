@@ -93,12 +93,30 @@ def encode_chain(
     group_sizes: np.ndarray,
     keyframe_interval: int = DEFAULT_KEYFRAME_INTERVAL,
     level: int | None = None,
+    base_texts: list | None = None,
+    base_versions: np.ndarray | None = None,
 ) -> bytes:
-    """Encode a content column whose rows are group-contiguous chains."""
+    """Encode a content column whose rows are group-contiguous chains.
+
+    base_texts / base_versions implement the reference's incremental
+    ``push_snapshot`` (delta.rs:108-125): when a group continues an
+    already-encoded chain, its first version deltas against the supplied
+    base text instead of opening with a keyframe, and the keyframe
+    cadence counts from base_versions[g] so appended fragments keep the
+    same bounded decode depth.  The decoder must be handed the same
+    base texts (the previous fragment's tails) — meta records which
+    groups are seeded.
+    """
     n = len(contents)
     assert int(np.sum(group_sizes)) == n, "group sizes must cover all rows"
     vals = contents.to_numpy(dtype=object)
     is_null = pd.isna(vals)
+    n_groups = len(group_sizes)
+    if base_texts is None:
+        base_texts = [None] * n_groups
+    if base_versions is None:
+        base_versions = np.zeros(n_groups, dtype=np.int64)
+    seeded = np.array([t is not None for t in base_texts], dtype=bool)
 
     is_key = np.zeros(n, dtype=bool)
     key_texts: list[str] = []
@@ -113,15 +131,20 @@ def encode_chain(
     splice_flags: list[bool] = []
 
     row = 0
-    for gsize in group_sizes:
-        prev_lines: list[str] | None = None
-        prev_null = True
+    for g, gsize in enumerate(group_sizes):
+        if seeded[g]:
+            prev_lines: list[str] | None = base_texts[g].split("\n")
+            prev_null = False
+        else:
+            prev_lines = None
+            prev_null = True
+        v0 = int(base_versions[g])
         for v in range(int(gsize)):
             i = row + v
             cur_null = bool(is_null[i])
             text = None if cur_null else vals[i]
             force_key = (
-                v % keyframe_interval == 0 or cur_null or prev_null
+                (v0 + v) % keyframe_interval == 0 or cur_null or prev_null
             )
             if not force_key:
                 new_lines = text.split("\n")
@@ -163,6 +186,7 @@ def encode_chain(
         row += int(gsize)
 
     gmeta, gpay = pack_ints(np.asarray(group_sizes, dtype=np.int64))
+    seed_bits = blocks.pack_mask(seeded)
     key_bits = blocks.pack_mask(is_key)
     null_bits = blocks.pack_mask(is_null)
     splice_bits = blocks.pack_mask(np.array(splice_flags, dtype=bool))
@@ -180,6 +204,7 @@ def encode_chain(
         "n": n, "k": keyframe_interval,
         "groups": gmeta, "gplen": len(gpay),
         "kb_len": len(key_bits), "nb_len": len(null_bits),
+        "seeded": bool(seeded.any()), "sd_len": len(seed_bits),
         "sb_len": len(splice_bits), "n_deltas": len(splice_flags),
         "keys_len": len(keys_block),
         "ec": emeta, "eclen": len(epay),
@@ -188,17 +213,20 @@ def encode_chain(
         "ei": imeta, "eilen": len(ipay),
     }
     payload = b"".join(
-        (gpay, key_bits, null_bits, splice_bits, keys_block,
+        (gpay, seed_bits, key_bits, null_bits, splice_bits, keys_block,
          epay, apay, rpay, ipay, lines_block)
     )
     return blocks.frame("chain", meta, payload)
 
 
-def decode_chain(meta: dict, payload: bytes) -> pd.Series:
+def decode_chain(meta: dict, payload: bytes, base_texts: list | None = None) -> pd.Series:
     n = meta["n"]
     p = 0
     gplen = meta["gplen"]
     group_sizes = unpack_ints(meta["groups"], payload[p : p + gplen]); p += gplen
+    seeded = blocks.unpack_mask(payload[p : p + meta["sd_len"]], len(group_sizes)); p += meta["sd_len"]
+    if meta.get("seeded") and base_texts is None:
+        raise ValueError("chain block has seeded groups; decode needs base_texts")
     is_key = blocks.unpack_mask(payload[p : p + meta["kb_len"]], n); p += meta["kb_len"]
     is_null = blocks.unpack_mask(payload[p : p + meta["nb_len"]], n); p += meta["nb_len"]
     splice = blocks.unpack_mask(payload[p : p + meta["sb_len"]], meta["n_deltas"]); p += meta["sb_len"]
@@ -217,8 +245,14 @@ def decode_chain(meta: dict, payload: bytes) -> pd.Series:
     ei = 0          # flat edit-index cursor
     li = 0          # delta line cursor
     row = 0
-    for gsize in group_sizes:
-        prev_lines: list[str] | None = None
+    for g, gsize in enumerate(group_sizes):
+        if seeded[g]:
+            base = base_texts[g]
+            if base is None:
+                raise ValueError(f"seeded group {g} has no base text")
+            prev_lines: list[str] | None = base.split("\n")
+        else:
+            prev_lines = None
         for v in range(int(gsize)):
             i = row + v
             if is_key[i]:

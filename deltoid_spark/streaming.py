@@ -3,9 +3,12 @@
 The reference's snapshot layer is batch-incremental (a head plus an
 append-only delta chain, /root/reference/deltoid/src/snapshot/delta.rs:81-125)
 — the streaming analog is an encode *ingest*: a file-source stream of
-new code-table rows where every micro-batch runs the J1 encode kernel
-and appends blocks + manifest rows tagged with the batch id.  Decode
-reads across all batches.  ``availableNow`` triggers give the
+new code-table rows where batch 0 runs the full J1 encode and every
+later micro-batch runs the incremental append path, EXTENDING existing
+(repo, path) chains past their stored tails instead of restarting
+keyframes (delta.rs:108-125 ``push_snapshot``).  Output is the standard
+blocks/manifest layout, so ``jobs.decode`` reads across all batches and
+compaction/resume work unchanged.  ``availableNow`` triggers give the
 batch-incremental semantics the north_rule asks for ("resumable"), with
 Spark's checkpoint dir providing exactly-once file-source progress.
 
@@ -21,8 +24,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .jobs.partitioning import assign_partitions
-from .jobs.pipeline import BLOCK_SCHEMA, ROW_SCHEMA, _decode_partition, make_encode_kernel
+from .jobs.pipeline import ROW_SCHEMA, _exists, encode, encode_append
 
 INPUT_SCHEMA = ROW_SCHEMA  # the canonical 5-column schema
 
@@ -37,23 +39,22 @@ def stream_encode(
 ):
     """Start (and with available_now=True, drain) an encode ingest stream.
 
-    Each micro-batch is partitioned and encoded exactly like a batch J1
-    run; blocks land under ``out_dir/blocks`` with a ``batch_id``
-    column, so partition identity is (batch_id, part_id) and re-started
-    streams never collide with prior batches.
+    Batch 0 establishes the partition map + base fragments; each later
+    micro-batch appends continuation fragments under its own run_id and
+    manifest generation, so restarted streams never collide with prior
+    batches and chains stay delta-encoded across batches.
     """
-    kernel = make_encode_kernel(keyframe_interval)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        dfp, _n = assign_partitions(batch_df, target_rows)
-        blocks = (
-            dfp.groupBy("part_id")
-            .applyInPandas(kernel, BLOCK_SCHEMA)
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+        if _exists(spark, os.path.join(out_dir, "manifest")):
+            encode_append(spark, batch_df, out_dir, keyframe_interval=keyframe_interval)
+        else:
+            encode(
+                spark, batch_df, out_dir,
+                target_rows=target_rows, keyframe_interval=keyframe_interval,
+            )
 
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
@@ -70,10 +71,9 @@ def stream_encode(
 
 def decode_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Reconstruct all rows ingested so far (across micro-batches)."""
-    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
-    return blocks.groupBy("batch_id", "part_id").applyInPandas(
-        _decode_partition, ROW_SCHEMA
-    )
+    from .jobs.pipeline import decode
+
+    return decode(spark, out_dir)
 
 
 def windowed_event_counts(

@@ -1,0 +1,125 @@
+"""Incremental append encode (A18) + codec-switch compaction (A17).
+
+Reference semantics: ``push_snapshot`` appends one delta to an existing
+chain (/root/reference/deltoid/src/snapshot/delta.rs:108-125); enum
+cross-variant changes force a full re-encode
+(/root/reference/deltoid-derive/src/gen/enums.rs:544-550).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltoid_spark.fixtures import codegen
+from deltoid_spark.jobs import compact, decode, encode, encode_append, metrics_summary, verify
+
+
+@pytest.fixture(scope="module")
+def split_batches():
+    """The fixture table split MID-CHAIN: every (repo, path) group's
+    first half of versions lands in batch A, the rest in batch B."""
+    pdf = codegen.generate(2_000).sort_values(
+        ["repo", "path", "commit"], kind="mergesort"
+    )
+    rank = pdf.groupby(["repo", "path"]).cumcount()
+    sizes = pdf.groupby(["repo", "path"])["commit"].transform("size")
+    first_half = rank < (sizes + 1) // 2
+    return pdf, pdf[first_half].reset_index(drop=True), pdf[~first_half].reset_index(drop=True)
+
+
+def _enc_bytes(manifest):
+    return metrics_summary(manifest)["enc_bytes"]
+
+
+def test_append_extends_chains(spark, split_batches, tmp_path_factory):
+    pdf, a, b = split_batches
+    assert len(a) and len(b)
+
+    out = str(tmp_path_factory.mktemp("appbase"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+    manifest = encode_append(spark, spark.createDataFrame(b), out)
+    assert all(r["status"] == "committed" for r in manifest.collect())
+
+    # full parity across both batches
+    full = spark.createDataFrame(pdf)
+    report = verify(spark, full, decode(spark, out))
+    assert report["ok"], report
+
+    # appended fragments really are seeded chain continuations
+    frag1 = (
+        spark.read.parquet(f"{out}/blocks")
+        .filter((F.col("frag_id") > 0) & (F.col("column") == "content"))
+        .collect()
+    )
+    assert frag1 and all(r["codec"] == "chain" for r in frag1)
+
+    # ratio stays close to a single-shot encode of the whole table
+    out1 = str(tmp_path_factory.mktemp("oneshot"))
+    single = _enc_bytes(encode(spark, full, out1, target_rows=500))
+    appended = _enc_bytes(manifest)
+    assert appended < single * 1.25, (appended, single)
+
+
+def test_append_new_keys_and_empty_parts(spark, split_batches, tmp_path_factory):
+    _pdf, a, _b = split_batches
+    out = str(tmp_path_factory.mktemp("appnew"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+
+    # a batch of entirely NEW files (unseen repo) appends cleanly
+    new = a.head(5).copy()
+    new["repo"] = "brand/new-repo"
+    new["path"] = "src/new_" + new["path"].str.replace("/", "_")
+    encode_append(spark, spark.createDataFrame(new), out)
+    decoded = decode(spark, out)
+    assert decoded.filter(F.col("repo") == "brand/new-repo").count() == 5
+    combined = spark.createDataFrame(__import__("pandas").concat([a, new]))
+    assert verify(spark, combined, decoded)["ok"]
+
+
+def test_compact_reencodes_and_switches_codec(spark, split_batches, tmp_path_factory):
+    _pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("compact"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+
+    # drift the appended batch's commit ids out of hex-space: the base
+    # fragments chose hex/plain for canonical sha commits, the appended
+    # data can't be hex -> after compaction the selector must re-pick
+    # over the UNION and drop hex wholesale (A17 cross-variant re-encode)
+    drifted = b.copy()
+    drifted["commit"] = "COMMIT::" + drifted["commit"].str.upper()
+    encode_append(spark, spark.createDataFrame(drifted), out)
+
+    active_before = encode_manifest = None
+    import json
+
+    from deltoid_spark.jobs.pipeline import _manifest_active
+
+    active_before = _manifest_active(spark, f"{out}/manifest")
+    parts_multi = (
+        active_before.groupBy("part_id").count().filter(F.col("count") > 1).count()
+    )
+    assert parts_multi > 0
+
+    combined = spark.createDataFrame(
+        __import__("pandas").concat([a, drifted], ignore_index=True)
+    )
+    assert verify(spark, combined, decode(spark, out))["ok"]  # pre-compact parity
+
+    manifest = compact(spark, out)
+    rows = manifest.collect()
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["part_id"], []).append(r)
+    assert all(len(v) == 1 for v in per_part.values())  # single active gen again
+    assert verify(spark, combined, decode(spark, out))["ok"]  # post-compact parity
+
+    # codec switch visible: compacted partitions holding drifted commits
+    # can no longer use hex for the commit column
+    compacted = [r for r in rows if r["kind"] == "replace" and r["n_rows"] > 0]
+    codecs = [json.loads(r["codecs"]).get("commit") for r in compacted]
+    assert "hex" not in codecs, codecs
+
+    # idempotent: nothing left to compact
+    again = compact(spark, out)
+    assert again.count() == manifest.count()
