@@ -60,8 +60,14 @@ def minhash_signatures(
     """
     grams = char_shingles(docs, width)
     if portable:
+        # ONE md5 per shingle; the k hashes derive via Kirsch-Mitzenmacher
+        # double hashing h_i = (h1 + i*h2) mod M from the digest's two
+        # 32-bit halves — 8x cheaper than k separate md5 calls and still
+        # reproducible in any engine with md5 + integer arithmetic
+        h1 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("long")
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"mh{i}")
+            F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(2_147_483_647))).alias(f"mh{i}")
             for i in range(k)
         ]
     else:
@@ -81,7 +87,9 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat(*[f"mh{b * per_band + j}" for j in range(per_band)])).alias("h"),
+            F.md5(
+                F.concat_ws(":", *[f"mh{b * per_band + j}" for j in range(per_band)])
+            ).alias("h"),
         )
         for b in range(bands)
     ]

@@ -4,28 +4,72 @@ The RLE codec signal (run coalescing per
 /root/reference/deltoid/src/vec.rs:61-64) needs run lengths over a
 *global* order — but `SUM(chg) OVER (ORDER BY ...)` with no PARTITION
 BY moves the whole table to one task.  This operator computes the same
-answer as a segmented scan:
+answer in ONE pass over the data:
 
 1. bucket rows by contiguous key ranges (``floor(key / bucket_size)``),
-2. per-bucket window (parallel): local change flags + local prefix sums,
-3. a *tiny* pass over one summary row per bucket stitches boundaries:
-   a bucket's first row continues the previous bucket's last run iff
-   the value matches across the boundary; bucket run-id offsets are a
-   prefix sum over the summaries,
-4. broadcast the summaries back and assemble global run ids.
+2. per-bucket window (parallel): local change prefix-sums identify the
+   run segment each row belongs to,
+3. ``groupBy(bucket, segment)`` collapses the data to one row per run
+   segment (cached: it is runs-sized, far smaller than the input, and
+   feeds two branches),
+4. interior segments are already complete runs; the ≤2 boundary
+   segments per bucket flow into a tiny sequential stitch (a run
+   crossing k buckets = tail segment + whole single-run buckets + head
+   segment) running as one task over one-row-per-bucket-edge data,
+5. union + final per-value aggregate.
 
-The only non-parallel window runs over the bucket summaries — one row
-per bucket, so at 10^12 input rows with 10^6-row buckets that is 10^6
-rows (and the same trick applies recursively if even that is too big).
-Everything else is bucket-partitioned and map-side combinable.
+The only non-parallel step touches the boundary-segment set (≤ 2 rows
+per bucket); with 10^6-row buckets a 10^12-row table yields ≤ 2*10^6
+stitch rows, and the same stitch applies recursively if even that is
+too big.  No join back onto the data, no global row numbering.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 
 DEFAULT_BUCKET = 8192
+
+
+def _stitch_kernel(segs: pd.DataFrame) -> pd.DataFrame:
+    """Merge boundary segments across bucket edges (single tiny task).
+
+    Walks buckets in ascending order carrying the run that touches the
+    right edge of the previous bucket; a bucket whose head segment has
+    the same value extends it, anything else closes it.
+    """
+    segs = segs.sort_values(["bucket", "min_rn"], kind="mergesort")
+    out_vals: list = []
+    out_lens: list = []
+    open_val, open_len = None, 0
+
+    def emit(v, ln):
+        out_vals.append(v)
+        out_lens.append(ln)
+
+    for _bucket, sub in segs.groupby("bucket", sort=True):
+        rows = sub.to_dict("records")
+        head, tail = rows[0], rows[-1]
+        if open_len:
+            same = (head["value"] == open_val) or (
+                pd.isna(head["value"]) and pd.isna(open_val)
+            )
+            if same:
+                head["run_len"] += open_len
+            else:
+                emit(open_val, open_len)
+            open_val, open_len = None, 0
+        if len(rows) == 1:  # single segment spans the whole bucket
+            open_val, open_len = head["value"], head["run_len"]
+        else:
+            emit(head["value"], head["run_len"])
+            open_val, open_len = tail["value"], tail["run_len"]
+    if open_len:
+        emit(open_val, open_len)
+    return pd.DataFrame({"value": out_vals, "run_len": out_lens})
 
 
 def run_length_profile(
@@ -40,6 +84,7 @@ def run_length_profile(
     Output: (value, n_runs, total_rows, max_run) ordered by value —
     identical to the global-window formulation for any bucket_size.
     """
+    value_ddl = dict(df.dtypes)[value_col]
     b = df.select(
         F.col(key_col).alias("k"),
         F.col(seq_col).alias("s"),
@@ -47,69 +92,47 @@ def run_length_profile(
         F.floor(F.col(key_col) / bucket_size).alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("k", "s")
-    rows = (
-        b.select(
-            "bucket",
-            "value",
-            "k",
-            "s",
-            # change flag vs previous row IN THE SAME BUCKET; the bucket's
-            # first row is resolved by the boundary stitch below
+    # seg = prefix count of in-bucket changes: constant within a run,
+    # distinct across runs of the same bucket.  rn supports the
+    # head/tail classification below.  One WindowExec (same spec).
+    rows = b.select(
+        "bucket",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.sum(
             F.when(F.row_number().over(w) == 1, F.lit(0))
             .when(~F.lag("value").over(w).eqNullSafe(F.col("value")), F.lit(1))
             .otherwise(F.lit(0))
-            .alias("chg"),
-            F.struct("k", "s").alias("ord"),
-        )
-        .withColumn(
-            "local_cum",
-            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .drop("k", "s")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seg"),
     )
 
-    summaries = rows.groupBy("bucket").agg(
-        F.min_by("value", "ord").alias("first_val"),
-        F.max_by("value", "ord").alias("last_val"),
-        F.sum("chg").alias("n_chg"),
+    segs = (
+        rows.groupBy("bucket", "seg")
+        .agg(
+            F.min("value").alias("value"),  # constant within a segment
+            F.count("*").alias("run_len"),
+            F.min("rn").alias("min_rn"),
+            F.max("rn").alias("max_rn"),
+        )
+        # runs-sized (<= one row per value change) and consumed by two
+        # branches below — cache instead of recomputing the scan+window
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # one row per bucket: tiny by design (constant partition key keeps
-    # Spark from warning about an undefined window partition — the
-    # single partition here is over summaries, not data)
-    ws = Window.partitionBy(F.lit(0)).orderBy("bucket")
-    stitched = (
-        summaries.withColumn("prev_last", F.lag("last_val").over(ws))
-        .withColumn(
-            "first_chg",
-            F.when(
-                F.lag("bucket").over(ws).isNull()
-                | ~F.col("prev_last").eqNullSafe(F.col("first_val")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum(F.col("n_chg") + F.col("first_chg")).over(
-                    ws.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "first_chg", "offset")
+    bsize = F.max("max_rn").over(Window.partitionBy("bucket"))
+    flagged = segs.withColumn(
+        "is_boundary", (F.col("min_rn") == 1) | (F.col("max_rn") == bsize)
     )
-
-    runs = (
-        rows.join(F.broadcast(stitched), "bucket")
-        .select(
-            "value",
-            (F.col("offset") + F.col("first_chg") + F.col("local_cum")).alias("run_id"),
-        )
-        .groupBy("value", "run_id")
-        .agg(F.count("*").alias("run_len"))
+    interior = flagged.filter(~F.col("is_boundary")).select("value", "run_len")
+    boundary = flagged.filter(F.col("is_boundary")).select(
+        "bucket", "min_rn", "value", "run_len"
+    )
+    stitched = boundary.groupBy(F.pmod(F.col("bucket"), F.lit(1)).alias("g")).applyInPandas(
+        lambda pdf: _stitch_kernel(pdf),
+        f"value {value_ddl}, run_len long",
     )
     return (
-        runs.groupBy("value")
+        interior.unionByName(stitched)
+        .groupBy("value")
         .agg(
             F.count("*").alias("n_runs"),
             F.sum("run_len").alias("total_rows"),

@@ -320,11 +320,12 @@ def _q18_oracle() -> str:
     k, bands = dedup.N_MINHASH, dedup.N_BANDS
     per_band = k // bands
     mins = ",\n         ".join(
-        f"MIN(md5(concat('{i}:', g))) AS mh{i}" for i in range(k)
+        f"MIN((h1 + {i} * h2) % 2147483647) AS mh{i}" for i in range(k)
     )
     band_selects = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat({cols})) AS h FROM mh".format(
-            b=b, cols=", ".join(f"mh{b * per_band + j}" for j in range(per_band))
+            b=b,
+            cols=", ':', ".join(f"mh{b * per_band + j}" for j in range(per_band)),
         )
         for b in range(bands)
     )
@@ -334,10 +335,15 @@ WITH g AS (
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(1, length(text) - 15))) AS i
         FROM documents)),
+hh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(g), 9, 8)) AS BIGINT) AS h2
+  FROM g),
 mh AS (
   SELECT doc_id,
          {mins}
-  FROM g GROUP BY doc_id),
+  FROM hh GROUP BY doc_id),
 banded AS (
   {band_selects})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
