@@ -62,6 +62,9 @@ def run_queries() -> dict[str, float]:
 
     spark = get_spark(cores=CPUS, app="bench-queries", shuffle_partitions=CPUS)
     catalog = queries()
+    # untimed warmup: JVM/codegen/Arrow/python-worker startup is session
+    # cost, not a property of the first measured query
+    _materialize(catalog["q08_for_bitwidth"](spark, SF_DIR))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

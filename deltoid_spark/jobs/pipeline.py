@@ -49,7 +49,15 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..kernels import api, blocks as blocks_mod, chain as chain_kernel, floats, selector, strings
+from ..kernels import (
+    api,
+    blocks as blocks_mod,
+    chain as chain_kernel,
+    floats,
+    mapdelta as mapdelta_kernel,
+    selector,
+    strings,
+)
 from .partitioning import (
     DEFAULT_TARGET_ROWS,
     apply_partition_map,
@@ -75,7 +83,10 @@ ROW_SCHEMA = "repo string, path string, commit string, lang string, content stri
 # scalar Spark types the encoder routes (simpleString -> logical width)
 _INT_DDL = {"bigint": 8, "int": 4, "smallint": 2, "tinyint": 1}
 _WIDTHS = {**_INT_DDL, "boolean": 1, "timestamp": 8, "date": 4, "float": 4, "double": 8}
-SUPPORTED_DDL = {"string", *_WIDTHS}
+# nested types: array<string> -> STRLIST; map<string,string> -> MAPDELTA
+# (keyed Add/Edit/Remove chains, reference hashmap.rs:57-85)
+_NESTED_DDL = {"array<string>", "map<string,string>"}
+SUPPORTED_DDL = {"string", *_WIDTHS, *_NESTED_DDL}
 
 _NS_PER_DAY = 86_400 * 10**9
 
@@ -132,10 +143,23 @@ def _storage_int64(s: pd.Series, ddl: str) -> pd.Series:
 
 def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
     """Encode one non-string column; returns (codec, buf, raw_bytes)."""
+    if ddl == "array<string>":
+        flat = [x for row in s.dropna() for x in row]
+        raw = int(strings.utf8_view(pd.Series(flat, dtype=object))[0].sum())
+        return "strlist", mapdelta_kernel.encode_strlist(s), raw
     raw = _WIDTHS[ddl] * len(s)
     if ddl in ("float", "double"):
         return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw
     return "for", api.encode_block(_storage_int64(s, ddl), "for"), raw
+
+
+def _map_raw_bytes(s: pd.Series) -> int:
+    flat: list = []
+    for row in s.dropna():
+        d = mapdelta_kernel._as_dict(row)
+        flat.extend(d.keys())
+        flat.extend(v for v in d.values() if v is not None)
+    return int(strings.utf8_view(pd.Series(flat, dtype=object))[0].sum())
 
 
 def _group_starts(gsizes: np.ndarray) -> np.ndarray:
@@ -224,6 +248,15 @@ def _encode_rows(
             else:
                 codec, _stats, buf = selector.select_and_encode(s)
             sha = api.sha256_column(s) if col == content_col else None
+        elif ddl.startswith("map<"):
+            # keyed Add/Edit/Remove chains over the same group layout the
+            # content column uses (reference HashMap::delta)
+            codec = "mapdelta"
+            buf = mapdelta_kernel.encode_mapdelta(
+                s, gsizes, keyframe_interval=keyframe_interval, level=level
+            )
+            raw = _map_raw_bytes(s)
+            sha = None
         else:
             codec, buf, raw = _encode_typed(s, ddl)
             sha = None
@@ -689,7 +722,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def _from_storage(s: pd.Series, ddl: str) -> pd.Series:
     """Cast a decoded storage series back to the column's pandas shape."""
-    if ddl == "string":
+    if ddl == "string" or ddl in _NESTED_DDL or ddl.startswith(("map<", "array<")):
         return s.astype(object) if len(s) else pd.Series([], dtype=object)
     if ddl in ("float", "double"):
         return s  # FP codec already yields Float32/Float64 nullable
@@ -838,12 +871,23 @@ def verify(
     of a key visible without extra count() actions over each input.
     """
     value_cols = [c for c in original.columns if c not in key_cols]
+    ddls = {f.name: f.dataType.simpleString() for f in original.schema.fields}
+
+    def canonical(c):
+        # map iteration order is not significant — digest sorted entries
+        if ddls.get(c, "").startswith("map<"):
+            entries = F.transform(
+                F.map_entries(F.col(c)),
+                lambda e: F.concat_ws("\x02", e["key"], e["value"]),
+            )
+            return F.array_join(F.sort_array(entries), "\x03")
+        return F.col(c).cast("string")
 
     def prep(df, tag):
         parts = []
         for c in value_cols:
             parts.append(F.col(c).isNull().cast("string"))
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            parts.append(F.coalesce(canonical(c), F.lit("")))
         digest = F.sha2(F.concat_ws("\x01", *parts), 256)
         return (
             df.select(*key_cols, digest.alias("d"))

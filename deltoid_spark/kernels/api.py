@@ -7,7 +7,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from . import blocks, chain, floats, fsst, intcodec, strings
+from . import blocks, chain, floats, fsst, intcodec, mapdelta, strings
 
 STRING_CODECS = ("plain", "dict", "rle", "hex", "fsst")
 
@@ -29,6 +29,10 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
         return floats.encode_fp(series, **kw)
     if codec == "chain":
         return chain.encode_chain(series, **kw)
+    if codec == "mapdelta":
+        return mapdelta.encode_mapdelta(series, **kw)
+    if codec == "strlist":
+        return mapdelta.encode_strlist(series, **kw)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -52,6 +56,10 @@ def decode_block(buf: bytes, **kw) -> pd.Series:
         return floats.decode_fp(meta, payload)
     if codec == "chain":
         return chain.decode_chain(meta, payload)
+    if codec == "mapdelta":
+        return mapdelta.decode_mapdelta(meta, payload)
+    if codec == "strlist":
+        return mapdelta.decode_strlist(meta, payload)
     raise ValueError(f"unknown codec {codec!r}")
 
 

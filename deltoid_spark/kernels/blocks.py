@@ -38,6 +38,8 @@ CODEC_IDS = {
     "chain": 5,
     "hex": 6,
     "fp": 7,  # fixed-width IEEE float lanes + zstd
+    "mapdelta": 8,  # keyed Add/Edit/Remove map deltas (HashMap::delta)
+    "strlist": 9,  # array<string>: packed lengths + flattened elements
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

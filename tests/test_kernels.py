@@ -318,3 +318,71 @@ class TestFloats:
 
         dec = api.decode_block(api.encode_block(pd.Series([], dtype="float64"), "fp"))
         assert len(dec) == 0
+
+
+class TestMapDelta:
+    def _roundtrip(self, rows, gsizes, **kw):
+        import numpy as np
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        s = pd.Series(rows, dtype=object)
+        buf = api.encode_block(s, "mapdelta", group_sizes=np.array(gsizes), **kw)
+        dec = api.decode_block(buf)
+        assert dec.tolist() == [r if r is None else dict(r) for r in rows]
+        return buf
+
+    def test_add_edit_remove_chain(self):
+        rows = [
+            {"a": "1", "b": "2"},
+            {"a": "1", "b": "3", "c": "x"},   # edit b, add c
+            {"b": "3", "c": "x"},             # remove a
+            {},                               # remove all
+            {"z": "9"},
+        ]
+        self._roundtrip(rows, [5])
+
+    def test_null_and_keyframes(self):
+        rows = [{"k": "v"}, None, {"k": "v2"}, {"k": "v2", "j": "w"}]
+        self._roundtrip(rows, [4], keyframe_interval=2)
+
+    def test_delta_smaller_than_keyframes(self):
+        import numpy as np
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        base = {f"key_{i}": f"value_{i}" * 4 for i in range(50)}
+        rows = [dict(base, **{"key_0": f"v{v}"}) for v in range(32)]
+        s = pd.Series(rows, dtype=object)
+        delta = api.encode_block(s, "mapdelta", group_sizes=np.array([32]))
+        key_every = api.encode_block(
+            s, "mapdelta", group_sizes=np.array([32]), keyframe_interval=1
+        )
+        assert len(delta) < len(key_every) * 0.5
+
+    def test_byte_deterministic(self):
+        rows = [{"b": "2", "a": "1"}, {"a": "1", "b": "2", "c": "3"}]
+        b1 = self._roundtrip(rows, [2])
+        b2 = self._roundtrip(rows, [2])
+        assert b1 == b2
+
+
+class TestStrList:
+    def test_roundtrip(self):
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        rows = [["a", "b"], [], None, ["unicode 日本", ""], ["x"] * 100]
+        dec = api.decode_block(api.encode_block(pd.Series(rows, dtype=object), "strlist"))
+        assert dec.tolist() == rows
+
+    def test_empty_column(self):
+        import pandas as pd
+
+        from deltoid_spark.kernels import api
+
+        dec = api.decode_block(api.encode_block(pd.Series([], dtype=object), "strlist"))
+        assert dec.tolist() == []

@@ -74,7 +74,9 @@ def test_typed_columns_roundtrip(spark, tmp_path_factory):
 
 def test_unsupported_type_rejected(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("unsup"))
-    df = spark.createDataFrame([("a", ["x"])], "repo string, tags array<string>")
+    df = spark.createDataFrame(
+        [("a", ("x", 1))], "repo string, meta struct<name:string,v:int>"
+    )
     with pytest.raises(ValueError, match="unsupported type"):
         encode(spark, df, out, key_cols=("repo", "repo"))
 
@@ -160,3 +162,38 @@ def test_hash_commit_linearization_via_ts(spark, tmp_path_factory):
     hdf = spark.createDataFrame(hashed)
     encode(spark, hdf, out, target_rows=500)
     assert verify(spark, hdf, decode(spark, out))["ok"]
+
+
+def test_nested_columns_roundtrip(spark, tmp_path_factory):
+    """map<string,string> + array<string> columns: the MAPDELTA kernel
+    (reference HashMap::delta, hashmap.rs:57-85) and STRLIST codec."""
+    out = str(tmp_path_factory.mktemp("nested"))
+    rows = []
+    for i in range(300):
+        tags = {f"k{j}": f"v{j}_{i % 4}" for j in range(i % 6)}
+        labels = [f"l{j}" for j in range(i % 4)]
+        rows.append((f"org/r{i % 3}", f"src/p{i % 30}.py", f"c{i:06d}",
+                     f"body {i}\nshared", tags, labels))
+    rows.append(("org/r0", "src/nil.py", "cnil", None, None, None))
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, content string, "
+        "tags map<string,string>, labels array<string>",
+    )
+    manifest = encode(spark, df, out, target_rows=100)
+    assert all(r["status"] == "committed" for r in manifest.collect())
+    decoded = decode(spark, out)
+    report = verify(spark, df, decoded)
+    assert report["ok"], report
+
+    got = decoded.filter(F.col("commit") == "c000005").collect()[0]
+    assert got["tags"] == {f"k{j}": f"v{j}_1" for j in range(5)}
+    assert got["labels"] == ["l0"]
+    nil = decoded.filter(F.col("commit") == "cnil").collect()[0]
+    assert nil["tags"] is None and nil["labels"] is None and nil["content"] is None
+
+    # the map column's codec is the keyed-delta kernel
+    import json
+
+    codecs = [json.loads(r["codecs"]) for r in manifest.collect()]
+    assert all(c["tags"] == "mapdelta" and c["labels"] == "strlist" for c in codecs)
