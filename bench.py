@@ -74,16 +74,45 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
-def run_encode_scaling() -> dict:
-    results = {}
-    for cores in SCALING_CORES:
-        proc = subprocess.run(
-            [sys.executable, "-m", "deltoid_spark.bench_encode", "--cores", str(cores)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        results[f"local{cores}"] = json.loads(line)
+def _run_level(cores: int, attempts: int) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "deltoid_spark.bench_encode",
+            "--cores", str(cores), "--attempts", str(attempts),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    return json.loads(line)
+
+
+def run_encode_scaling(rounds: int = 2, attempts_per_round: int = 2) -> dict:
+    """Interleave the two parallelism levels across measurement rounds.
+
+    This shared host's bandwidth swings in multi-minute epochs; running
+    all of one level's attempts inside a single epoch biases the
+    efficiency ratio whichever way that epoch leaned.  Alternating
+    lo/hi rounds samples the same noise distribution at both levels;
+    the best-of over all rounds is the reported wall."""
+    results: dict[str, dict] = {}
+    for _ in range(rounds):
+        for cores in SCALING_CORES:
+            res = _run_level(cores, attempts_per_round)
+            key = f"local{cores}"
+            if key in results and res.get("wall_s"):
+                prev = results[key]
+                walls = prev.get("walls", []) + res.get("walls", [])
+                best_dec = min(
+                    (prev, res), key=lambda r: r.get("decode_wall_s", 1e9)
+                )
+                merged = dict(res if res["wall_s"] < prev["wall_s"] else prev)
+                merged["walls"] = walls
+                merged["decode_wall_s"] = best_dec.get("decode_wall_s")
+                merged["decode_gbps"] = best_dec.get("decode_gbps")
+                results[key] = merged
+            else:
+                results[key] = res
     lo = results[f"local{SCALING_CORES[0]}"]
     hi = results[f"local{SCALING_CORES[-1]}"]
     factor = SCALING_CORES[-1] / SCALING_CORES[0]

@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--keyframe-interval", type=int, default=32)
     enc.add_argument("--no-resume", action="store_true")
 
+    app_ = sub.add_parser("append", help="A18: extend existing chains with a new batch")
+    app_.add_argument("--input", required=True)
+    app_.add_argument("--out", required=True)
+
+    cmp_ = sub.add_parser("compact", help="A17: merge append fragments, re-select codecs")
+    cmp_.add_argument("--out", required=True)
+
     dec = sub.add_parser("decode", help="J2: blocks -> table")
     dec.add_argument("--out", required=True)
     dec.add_argument("--dest", required=True)
@@ -41,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    from .jobs import decode, encode, metrics_summary, verify
+    from .jobs import compact, decode, encode, encode_append, metrics_summary, verify
     from .session import get_spark
 
     spark = get_spark(app=f"deltoid-{args.cmd}")
@@ -54,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
             )
             print(json.dumps(metrics_summary(manifest)))
+        elif args.cmd == "append":
+            manifest = encode_append(spark, args.input, args.out)
+            print(json.dumps(metrics_summary(manifest)))
+        elif args.cmd == "compact":
+            manifest = compact(spark, args.out)
+            print(json.dumps(metrics_summary(manifest)))
         elif args.cmd == "decode":
             decode(spark, args.out).write.mode("overwrite").parquet(args.dest)
             print(json.dumps({"written": args.dest}))
@@ -62,8 +75,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(report))
             return 0 if report["ok"] else 1
         elif args.cmd == "metrics":
-            manifest = spark.read.parquet(f"{args.out}/manifest")
-            print(json.dumps(metrics_summary(manifest)))
+            # resolve the active manifest head — a raw read would double
+            # count generations superseded by resume/append/compact
+            from .jobs.pipeline import _manifest_active
+
+            print(json.dumps(metrics_summary(_manifest_active(spark, f"{args.out}/manifest"))))
     finally:
         spark.stop()
     return 0

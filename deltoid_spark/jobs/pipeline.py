@@ -493,7 +493,15 @@ def encode(
 
     blocks_path = os.path.join(out_dir, "blocks")
     manifest_path = os.path.join(out_dir, "manifest")
-    _write_table_spec(spark, out_dir, spec, key_cols, order_cols, content_col)
+    if _exists(spark, os.path.join(out_dir, "schema")):
+        stored = read_table_spec(spark, out_dir)
+        if stored["spec"] != spec:
+            raise ValueError(
+                f"out_dir already holds a different table spec "
+                f"{stored['spec']}; refusing to mix schemas (got {spec})"
+            )
+    else:
+        _write_table_spec(spark, out_dir, spec, key_cols, order_cols, content_col)
 
     # the partition map persists so a resume (and any later append run)
     # reuses the ORIGINAL part_id layout instead of re-deriving one
@@ -525,13 +533,19 @@ def encode(
         blocks = df.mapInArrow(make_fragment_kernel(**kw), BLOCK_SCHEMA)
     else:
         blocks = df.groupBy("part_id").applyInPandas(make_encode_kernel(**kw), BLOCK_SCHEMA)
-    blocks.write.mode("append").parquet(blocks_path)
+    _write_blocks(blocks, blocks_path)
 
     # manifest rows for THIS run only (from the tiny written blocks
     # table: one metadata-sized scan, no re-encode), appended with a new
     # generation — readers resolve each part to its latest gen
     _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "replace")
     return _manifest_active(spark, manifest_path)
+
+
+def _write_blocks(blocks: DataFrame, blocks_path: str) -> None:
+    # payloads are already zstd'd — parquet re-compression (snappy) would
+    # burn CPU + memory bandwidth on the dominant column for ~0 size win
+    blocks.write.mode("append").option("compression", "none").parquet(blocks_path)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -674,7 +688,7 @@ def encode_append(
         .cogroup(existing.groupBy("part_id"))
         .applyInPandas(kernel, BLOCK_SCHEMA)
     )
-    new_blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+    _write_blocks(new_blocks, os.path.join(out_dir, "blocks"))
     _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append")
     return _manifest_active(spark, os.path.join(out_dir, "manifest"))
 
@@ -712,7 +726,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
         run_id=run_id,
     )
     blocks = rows.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
-    blocks.write.mode("append").parquet(os.path.join(out_dir, "blocks"))
+    _write_blocks(blocks, os.path.join(out_dir, "blocks"))
     _manifest_rows_for_run(spark, out_dir, run_id, gen, info["spec"], "replace")
     return _manifest_active(spark, manifest_path)
 
