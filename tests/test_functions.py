@@ -76,17 +76,47 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in res)
 
 
-def test_media_features_stub(spark):
+def test_media_features_real_decode(spark):
     media = multimodal.synthesize_media(spark, n=12)
-    feats = multimodal.extract_features(media, decode_stub=True).collect()
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
     assert len(feats) == 12
-    for r in feats:
+    for mid, r in feats.items():
         v = np.array(r["feature"], dtype=np.float64)
         assert len(v) == 8
-        assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # unit vectors from the stub
+        if r["kind"] == "image":
+            # real decode: feature[0:2] = actual BMP width/height
+            assert (int(v[0]), int(v[1])) == (src[mid]["width"], src[mid]["height"])
+            assert 0 <= v[2] <= 255 and v[7] <= 255
+        elif r["kind"] == "audio":
+            assert int(v[1]) == multimodal.WAV_RATE
+            assert 0.0 < v[2] < 1.0  # RMS of the sine+noise mix
     # deterministic across runs
     again = multimodal.extract_features(multimodal.synthesize_media(spark, n=12)).collect()
-    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+    assert [feats[r["media_id"]]["feature"] for r in again] == [r["feature"] for r in again]
+
+
+def test_bmp_wav_mjpb_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)  # odd width: row padding
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+    samples = (rng.standard_normal(5000) * 8000).astype(np.int16)
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(dec, samples)
+    frames = [rng.integers(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(3)]
+    back = multimodal.decode_mjpb(multimodal.encode_mjpb(frames))
+    assert len(back) == 3 and all(np.array_equal(a, b) for a, b in zip(frames, back))
+
+
+def test_video_frame_decode(spark):
+    media = multimodal.synthesize_media(spark, n=9)
+    rows = multimodal.decode_frames(media).collect()
+    vids = {r["media_id"]: r for r in media.collect() if r["kind"] == "video"}
+    assert rows and {r["media_id"] for r in rows} == set(vids)
+    for r in rows:
+        v = vids[r["media_id"]]
+        feat = r["feature"]
+        assert (int(feat[0]), int(feat[1])) == (v["width"], v["height"])
 
 
 def test_frame_sample_plan(spark):
