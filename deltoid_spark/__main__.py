@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     cmp_ = sub.add_parser("compact", help="A17: merge append fragments, re-select codecs")
     cmp_.add_argument("--out", required=True)
 
+    vac = sub.add_parser("vacuum", help="reclaim blocks no active manifest entry references")
+    vac.add_argument("--out", required=True)
+
     dec = sub.add_parser("decode", help="J2: blocks -> table")
     dec.add_argument("--out", required=True)
     dec.add_argument("--dest", required=True)
@@ -48,7 +51,15 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    from .jobs import compact, decode, encode, encode_append, metrics_summary, verify
+    from .jobs import (
+        compact,
+        decode,
+        encode,
+        encode_append,
+        metrics_summary,
+        vacuum,
+        verify,
+    )
     from .session import get_spark
 
     spark = get_spark(app=f"deltoid-{args.cmd}")
@@ -67,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             manifest = compact(spark, args.out)
             print(json.dumps(metrics_summary(manifest)))
+        elif args.cmd == "vacuum":
+            print(json.dumps(vacuum(spark, args.out)))
         elif args.cmd == "decode":
             decode(spark, args.out).write.mode("overwrite").parquet(args.dest)
             print(json.dumps({"written": args.dest}))

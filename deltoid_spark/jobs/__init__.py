@@ -5,5 +5,6 @@ from .pipeline import (  # noqa: F401
     encode,
     encode_append,
     metrics_summary,
+    vacuum,
     verify,
 )

@@ -542,6 +542,52 @@ def encode(
     return _manifest_active(spark, manifest_path)
 
 
+def vacuum(spark: SparkSession, out_dir: str) -> dict:
+    """Reclaim block rows no active manifest entry references.
+
+    Superseded generations (resumed replaces, compacted appends, torn
+    runs) leave dead fragments in blocks/.  Vacuum rewrites blocks and
+    manifest down to the active committed set and swaps the directories.
+    Maintenance operation: requires exclusive access to out_dir (the
+    swap is two renames; a concurrent reader could see the gap), exactly
+    like table-format vacuums.
+    """
+    import shutil
+
+    blocks_path = os.path.join(out_dir, "blocks")
+    manifest_path = os.path.join(out_dir, "manifest")
+    active = (
+        _manifest_active(spark, manifest_path)
+        .filter(F.col("status") == "committed")
+        .cache()
+    )
+    blocks = spark.read.parquet(blocks_path)
+    before = blocks.agg(
+        F.count("*").alias("n"), F.sum("enc_bytes").alias("b")
+    ).collect()[0]
+    keep = blocks.join(
+        F.broadcast(active.select("part_id", "run_id")), ["part_id", "run_id"], "left_semi"
+    )
+    tmp_blocks = blocks_path + "_vacuum"
+    tmp_manifest = manifest_path + "_vacuum"
+    keep.write.mode("overwrite").option("compression", "none").parquet(tmp_blocks)
+    active.write.mode("overwrite").parquet(tmp_manifest)
+    after = spark.read.parquet(tmp_blocks).agg(
+        F.count("*").alias("n"), F.sum("enc_bytes").alias("b")
+    ).collect()[0]
+    active.unpersist()
+    for live, tmp in ((blocks_path, tmp_blocks), (manifest_path, tmp_manifest)):
+        old = live + "_old"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "block_rows_before": int(before["n"]),
+        "block_rows_after": int(after["n"]),
+        "bytes_reclaimed": int((before["b"] or 0) - (after["b"] or 0)),
+    }
+
+
 def _write_blocks(blocks: DataFrame, blocks_path: str) -> None:
     # payloads are already zstd'd — parquet re-compression (snappy) would
     # burn CPU + memory bandwidth on the dominant column for ~0 size win

@@ -30,7 +30,9 @@ def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
     if nn == 0:
         return {"n": n, "distinct_ratio": 0.0, "mean_run": float(n or 1),
                 "avg_len": 0.0, "entropy": 0.0, "hex": False, "null_ratio": 1.0}
-    distinct = vals.nunique()
+    # np.unique, not pandas nunique: pandas' C-string hashing truncates
+    # values at embedded NUL bytes and under-counts distincts
+    distinct = len(np.unique(vals.to_numpy(dtype=object)))
     arr = s.fillna("\x00NULL").to_numpy(dtype=object)
     changes = 1 + int(np.sum(arr[1:] != arr[:-1])) if len(arr) > 1 else 1
     data = "".join(vals.iloc[:256].tolist()).encode("utf-8")[:65536]

@@ -123,3 +123,26 @@ def test_compact_reencodes_and_switches_codec(spark, split_batches, tmp_path_fac
     # idempotent: nothing left to compact
     again = compact(spark, out)
     assert again.count() == manifest.count()
+
+
+def test_vacuum_reclaims_superseded_blocks(spark, split_batches, tmp_path_factory):
+    from deltoid_spark.jobs import vacuum
+
+    pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("vac"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+    encode_append(spark, spark.createDataFrame(b), out)
+    compact(spark, out)  # appends superseded -> dead fragments remain on disk
+
+    full = spark.createDataFrame(pdf)
+    before = spark.read.parquet(f"{out}/blocks").count()
+    stats = vacuum(spark, out)
+    after = spark.read.parquet(f"{out}/blocks").count()
+    assert stats["block_rows_before"] == before
+    assert stats["block_rows_after"] == after < before
+    assert stats["bytes_reclaimed"] > 0
+    assert verify(spark, full, decode(spark, out))["ok"]
+
+    # idempotent: second vacuum reclaims nothing
+    again = vacuum(spark, out)
+    assert again["bytes_reclaimed"] == 0

@@ -101,3 +101,37 @@ def _eq(a: pd.Series, b: pd.Series) -> bool:
         elif x != y:
             return False
     return True
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.dictionaries(
+                    st.text(min_size=0, max_size=6),
+                    st.one_of(st.none(), st.text(max_size=8)),
+                    max_size=5,
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_mapdelta_roundtrip_property(groups):
+    import numpy as np
+    import pandas as pd
+
+    from deltoid_spark.kernels import api
+
+    rows = [m for g in groups for m in g]
+    sizes = np.array([len(g) for g in groups])
+    s = pd.Series(rows, dtype=object)
+    dec = api.decode_block(
+        api.encode_block(s, "mapdelta", group_sizes=sizes, keyframe_interval=3)
+    )
+    assert dec.tolist() == rows
