@@ -98,16 +98,31 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
-def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 6) -> DataFrame:
-    """ANN top-k: search only the query's LSH bucket (scale path).
+def lsh_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    multi_probe: bool = False,
+) -> DataFrame:
+    """ANN top-k: search the query's LSH bucket (scale path).
 
-    Recall < 1 by construction; at 100 TB you'd multi-probe neighboring
-    buckets.  Returned schema matches brute_force_topk for comparison.
+    multi_probe=True additionally probes every bucket at Hamming
+    distance 1 from the query's (one sign bit flipped) — the standard
+    multi-probe recall lever: candidate set grows ~(n_planes+1)x while
+    still scanning a vanishing fraction of the table.  Returned schema
+    matches brute_force_topk for comparison.
     """
     bucketed = random_hyperplane_buckets(emb, n_planes)
     qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").cast("array<double>").alias("qv"), F.col("bucket").alias("qb")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        qrow = qrow.select("qv", F.explode(probes).alias("qb"))
     return (
         bucketed.join(F.broadcast(qrow), F.col("bucket") == F.col("qb"))
         .filter(F.col("vec_id") != query_vec_id)

@@ -160,3 +160,17 @@ def test_run_length_profile_stitches_boundaries(spark):
         for r in runs.run_length_profile(df2, "k", "s", "v", 2).collect()
     }
     assert got2 == {"A": (2, 2, 1), "B": (2, 2, 1)}
+
+
+def test_lsh_multi_probe_improves_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, 1, k=10).collect()}
+
+    def recall(multi):
+        got = {r["vec_id"] for r in
+               similarity.lsh_topk(emb, 1, k=10, multi_probe=multi).collect()}
+        return len(got & exact) / len(exact)
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single
+    assert multi >= 0.3  # hamming-1 probing finds a real share of true neighbors
