@@ -87,7 +87,7 @@ def _run_level(cores: int, attempts: int) -> dict:
     return json.loads(line)
 
 
-def run_encode_scaling(rounds: int = 2, attempts_per_round: int = 2) -> dict:
+def run_encode_scaling(rounds: int = 3, attempts_per_round: int = 1) -> dict:
     """Interleave the two parallelism levels across measurement rounds.
 
     This shared host's bandwidth swings in multi-minute epochs; running

@@ -40,19 +40,13 @@ DEFAULT_KEYFRAME_INTERVAL = 32
 
 
 def _line_delta(prev: list[str], new: list[str]) -> tuple[np.ndarray, list[str], list[str], int]:
-    """Positional edit script prev -> new (deltoid Vec semantics)."""
-    m = min(len(prev), len(new))
-    if m:
-        a = np.array(prev[:m], dtype=object)
-        b = np.array(new[:m], dtype=object)
-        edit_idx = np.flatnonzero(a != b)
-        edit_lines = b[edit_idx].tolist()
-    else:
-        edit_idx = np.zeros(0, dtype=np.int64)
-        edit_lines = []
-    adds = new[m:] if len(new) > m else []
-    remove = len(prev) - len(new) if len(prev) > len(new) else 0
-    return edit_idx.astype(np.int64), edit_lines, adds, remove
+    """Positional edit script prev -> new (deltoid Vec semantics).
+
+    Thin wrapper over _version_deltas kept for tests/direct callers."""
+    e_idx, elines, adds, remove, _p, _d, _i = _version_deltas(
+        np.array(prev, dtype=object), np.array(new, dtype=object)
+    )
+    return e_idx, list(elines), list(adds), remove
 
 
 def _splice_delta(prev: list[str], new: list[str]) -> tuple[int, int, list[str]]:
@@ -64,24 +58,43 @@ def _splice_delta(prev: list[str], new: list[str]) -> tuple[int, int, list[str]]
     the splice encodes just (start, n_deleted, inserted_lines).
     Returns (start, del_count, ins_lines).
     """
-    np_, nn = len(prev), len(new)
-    m = min(np_, nn)
+    _e, _el, _a, _r, p, sdel, sins = _version_deltas(
+        np.array(prev, dtype=object), np.array(new, dtype=object)
+    )
+    return p, sdel, list(sins)
+
+
+def _version_deltas(a: np.ndarray, b: np.ndarray):
+    """BOTH delta scripts (positional + splice) from one elementwise
+    comparison of two line arrays — the hot path converts each version
+    to an object array exactly once and shares the prefix comparison.
+
+    Returns (edit_idx, edit_lines, adds, remove, splice_start,
+    splice_del, splice_ins) with the array results as object ndarrays.
+    """
+    na, nb = len(a), len(b)
+    m = min(na, nb)
     if m:
-        a = np.array(prev[:m], dtype=object)
-        b = np.array(new[:m], dtype=object)
-        neq = a != b
-        p = int(np.argmax(neq)) if neq.any() else m
+        neq = a[:m] != b[:m]
+        edit_idx = np.flatnonzero(neq)
+        p = int(edit_idx[0]) if len(edit_idx) else m
     else:
+        edit_idx = np.zeros(0, dtype=np.int64)
         p = 0
+    elines = b[:m][edit_idx] if m else b[:0]
+    adds = b[m:] if nb > m else b[:0]
+    remove = na - nb if na > nb else 0
     max_s = m - p
     if max_s > 0:
-        a_s = np.array(prev[np_ - max_s :], dtype=object)
-        b_s = np.array(new[nn - max_s :], dtype=object)
-        eq_rev = (a_s == b_s)[::-1]
-        s = int(np.argmax(~eq_rev)) if (~eq_rev).any() else max_s
+        ne_tail = (a[na - max_s :] != b[nb - max_s :])[::-1]
+        last_ne = np.flatnonzero(ne_tail)
+        s = int(last_ne[0]) if len(last_ne) else max_s
     else:
         s = 0
-    return p, np_ - p - s, new[p : nn - s]
+    return (
+        edit_idx.astype(np.int64), elines, adds, remove,
+        p, na - p - s, b[p : nb - s],
+    )
 
 
 def _script_cost(n_lines_chars: int, n_ints: int) -> int:
@@ -133,10 +146,12 @@ def encode_chain(
     row = 0
     for g, gsize in enumerate(group_sizes):
         if seeded[g]:
-            prev_lines: list[str] | None = base_texts[g].split("\n")
+            prev_arr: np.ndarray | None = np.array(
+                base_texts[g].split("\n"), dtype=object
+            )
             prev_null = False
         else:
-            prev_lines = None
+            prev_arr = None
             prev_null = True
         v0 = int(base_versions[g])
         for v in range(int(gsize)):
@@ -147,14 +162,16 @@ def encode_chain(
                 (v0 + v) % keyframe_interval == 0 or cur_null or prev_null
             )
             if not force_key:
-                new_lines = text.split("\n")
-                eidx, elines, adds, rem = _line_delta(prev_lines, new_lines)
-                pos_cost = _script_cost(
-                    sum(len(x) for x in elines) + sum(len(x) for x in adds),
-                    len(eidx) + 3,
+                # one object-array conversion per version, one prefix
+                # comparison shared by both candidate scripts
+                new_arr = np.array(text.split("\n"), dtype=object)
+                eidx, elines, adds, rem, sp, sdel, sins = _version_deltas(
+                    prev_arr, new_arr
                 )
-                sp, sdel, sins = _splice_delta(prev_lines, new_lines)
-                spl_cost = _script_cost(sum(len(x) for x in sins), 3)
+                pos_cost = _script_cost(
+                    sum(map(len, elines)) + sum(map(len, adds)), len(eidx) + 3
+                )
+                spl_cost = _script_cost(sum(map(len, sins)), 3)
                 # degrade to keyframe if neither script pays
                 if min(pos_cost, spl_cost) >= len(text):
                     force_key = True
@@ -165,7 +182,7 @@ def encode_chain(
                     remove_counts.append(sdel)
                     edit_indices.append(np.zeros(0, dtype=np.int64))
                     delta_lines.extend(sins)
-                    prev_lines = new_lines
+                    prev_arr = new_arr
                 else:
                     splice_flags.append(False)
                     edit_counts.append(len(eidx))
@@ -174,14 +191,14 @@ def encode_chain(
                     edit_indices.append(eidx)
                     delta_lines.extend(elines)
                     delta_lines.extend(adds)
-                    prev_lines = new_lines
+                    prev_arr = new_arr
             if force_key:
                 is_key[i] = True
                 if not cur_null:
                     key_texts.append(text)
-                    prev_lines = text.split("\n")
+                    prev_arr = np.array(text.split("\n"), dtype=object)
                 else:
-                    prev_lines = None
+                    prev_arr = None
             prev_null = cur_null
         row += int(gsize)
 
