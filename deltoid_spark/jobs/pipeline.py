@@ -173,6 +173,7 @@ def _encode_content(
     level,
     base_texts: list | None = None,
     base_versions: np.ndarray | None = None,
+    view: tuple | None = None,
 ) -> tuple[str, bytes]:
     """CHAIN-encode the content column; fall back to whole-column PLAIN
     only when a cheap zstd bound says PLAIN could plausibly win.
@@ -191,7 +192,7 @@ def _encode_content(
         # a seeded fragment must stay CHAIN: whole-column PLAIN can't
         # continue chains and seeded deltas are near-minimal anyway
         return "chain", buf
-    lengths, data = strings.utf8_view(s)
+    lengths, data = view if view is not None else strings.utf8_view(s)
     sample = data[: max(4096, len(data) // 8)]
     if sample:
         est_plain = len(blocks_mod.compress(sample, level)) / len(sample) * len(data)
@@ -239,15 +240,18 @@ def _encode_rows(
     for col, ddl in spec:
         s = pdf[col]
         if ddl == "string":
-            lengths, _ = strings.utf8_view(s)
-            raw = int(lengths.sum())
+            # one Arrow-buffer pass shared by raw-size, the PLAIN-gate
+            # sample, and the content digest
+            view = strings.utf8_view(s)
+            raw = int(view[0].sum())
             if col == content_col and (len(gsizes) < len(s) or tails):
                 codec, buf = _encode_content(
-                    s, gsizes, keyframe_interval, level, base_texts, base_versions
+                    s, gsizes, keyframe_interval, level, base_texts,
+                    base_versions, view,
                 )
             else:
                 codec, _stats, buf = selector.select_and_encode(s)
-            sha = api.sha256_column(s) if col == content_col else None
+            sha = api.sha256_column(s, view) if col == content_col else None
         elif ddl.startswith("map<"):
             # keyed Add/Edit/Remove chains over the same group layout the
             # content column uses (reference HashMap::delta)

@@ -68,15 +68,16 @@ def block_codec(buf: bytes) -> str:
     return codec
 
 
-def sha256_column(series: pd.Series) -> str:
+def sha256_column(series: pd.Series, view: tuple | None = None) -> str:
     """Order-sensitive digest of a string column (null-aware).
 
     One C-speed pass: hashes the null mask, the per-row byte lengths,
     and the concatenated utf-8 data straight from Arrow buffers — no
     per-row Python (the length prefix + mask make the digest injective
-    over (values, nulls, boundaries))."""
+    over (values, nulls, boundaries)).  ``view`` lets callers reuse an
+    already-computed (lengths, data) pair."""
     mask = series.isna().to_numpy()
-    lengths, data = strings.utf8_view(series)
+    lengths, data = view if view is not None else strings.utf8_view(series)
     h = hashlib.sha256()
     h.update(mask.astype(np.uint8).tobytes())
     h.update(lengths.astype("<i8").tobytes())
