@@ -74,11 +74,12 @@ def run_queries() -> dict[str, float]:
     return timings
 
 
-def _run_level(cores: int, attempts: int) -> dict:
+def _run_level(cores: int, attempts: int, mode: str = "grouped") -> dict:
     proc = subprocess.run(
         [
             sys.executable, "-m", "deltoid_spark.bench_encode",
             "--cores", str(cores), "--attempts", str(attempts),
+            "--mode", mode,
         ],
         capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=3600,
@@ -121,8 +122,13 @@ def run_encode_scaling(rounds: int = 3, attempts_per_round: int = 1) -> dict:
         if lo.get("gbps") and hi.get("gbps")
         else None
     )
+    # zero-shuffle clustered mode at the high level: the scale path for
+    # inputs already clustered by key (shuffle bytes -> 0; chains
+    # crossing splits restart at keyframes, a bounded ratio cost)
+    clustered = _run_level(SCALING_CORES[-1], 1, mode="clustered")
     return {
         **results,
+        f"clustered{SCALING_CORES[-1]}": clustered,
         "scaling_efficiency": round(eff, 3) if eff else None,
         "ratio": hi.get("ratio"),
     }
