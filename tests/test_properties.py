@@ -135,3 +135,48 @@ def test_mapdelta_roundtrip_property(groups):
         api.encode_block(s, "mapdelta", group_sizes=sizes, keyframe_interval=3)
     )
     assert dec.tolist() == rows
+
+
+@given(
+    st.lists(  # groups of versions, each group split at a random point
+        st.tuples(
+            st.lists(st.text(alphabet="ab\n x", max_size=20), min_size=1, max_size=10),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_seeded_chain_continuation_property(groups):
+    """A chain split at ANY point and encoded as base + seeded
+    continuation must decode to the same versions (A18 kernel law)."""
+    base_rows, cont_rows, sizes_a, sizes_b = [], [], [], []
+    base_texts, base_versions = [], []
+    for versions, cut_raw in groups:
+        cut = min(cut_raw, len(versions) - 1) + 1  # >=1 version in base
+        head, tail = versions[:cut], versions[cut:]
+        base_rows.extend(head)
+        sizes_a.append(len(head))
+        if tail:
+            cont_rows.extend(tail)
+            sizes_b.append(len(tail))
+            base_texts.append(head[-1])
+            base_versions.append(len(head))
+    buf_a = chain.encode_chain(
+        pd.Series(base_rows, dtype=object), np.array(sizes_a), keyframe_interval=3
+    )
+    _, meta_a, pay_a = blocks.unframe(buf_a)
+    dec_a = chain.decode_chain(meta_a, pay_a)
+    assert dec_a.tolist() == base_rows
+    if cont_rows:
+        buf_b = chain.encode_chain(
+            pd.Series(cont_rows, dtype=object),
+            np.array(sizes_b),
+            keyframe_interval=3,
+            base_texts=base_texts,
+            base_versions=np.array(base_versions),
+        )
+        codec, meta, payload = blocks.unframe(buf_b)
+        dec_b = chain.decode_chain(meta, payload, base_texts=base_texts)
+        assert dec_b.tolist() == cont_rows

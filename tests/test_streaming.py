@@ -47,3 +47,49 @@ def test_windowed_event_counts_static(spark):
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == events.count()
     assert all(r["window_start"] is not None for r in rows)
+
+
+def test_windowed_event_counts_on_a_real_stream(spark, tmp_path_factory):
+    """The SAME operator on an actual readStream: availableNow drain
+    into a memory sink must agree with the static computation."""
+    static_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path_factory.mktemp("evt_src"))
+    static_events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(static_events.schema).parquet(src)
+    # watermarks need TIMESTAMP (the parquet column is TIMESTAMP_NTZ)
+    cast = lambda df: df.withColumn("ts", df["ts"].cast("timestamp"))  # noqa: E731
+    out = streaming.windowed_event_counts(cast(stream), window="1 day", watermark="2 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming.windowed_event_counts(
+            cast(static_events), window="1 day", watermark="2 days"
+        ).collect()
+    }
+    # append-mode emits only windows closed by the watermark; every
+    # emitted window must match the static result exactly
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+
+
+def test_decode_without_state_errors_clearly(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from deltoid_spark.jobs import decode
+
+    empty = str(tmp_path_factory.mktemp("no_state"))
+    with _pytest.raises(Exception):
+        decode(spark, empty).collect()
