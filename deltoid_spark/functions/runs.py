@@ -92,35 +92,41 @@ def run_length_profile(
         F.floor(F.col(key_col) / bucket_size).alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("k", "s")
-    # seg = prefix count of in-bucket changes: constant within a run,
-    # distinct across runs of the same bucket.  rn supports the
-    # head/tail classification below.  One WindowExec (same spec).
+    # ONE window pass over the data tags each row with its in-bucket
+    # position and whether it STARTS a run; everything after the filter
+    # below is runs-sized (one row per value change), so no full-data
+    # aggregation ever runs.
     rows = b.select(
         "bucket",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.sum(
-            F.when(F.row_number().over(w) == 1, F.lit(0))
-            .when(~F.lag("value").over(w).eqNullSafe(F.col("value")), F.lit(1))
-            .otherwise(F.lit(0))
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seg"),
+        F.count("*").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("bsize"),
+        (
+            (F.row_number().over(w) == 1)
+            | ~F.lag("value").over(w).eqNullSafe(F.col("value"))
+        ).alias("starts"),
     )
-
+    starts = rows.filter("starts")
+    ws = Window.partitionBy("bucket").orderBy("rn")
     segs = (
-        rows.groupBy("bucket", "seg")
-        .agg(
-            F.min("value").alias("value"),  # constant within a segment
-            F.count("*").alias("run_len"),
-            F.min("rn").alias("min_rn"),
-            F.max("rn").alias("max_rn"),
+        starts.select(
+            "bucket",
+            "value",
+            "bsize",
+            F.col("rn").alias("min_rn"),
+            (
+                F.coalesce(F.lead("rn").over(ws), F.col("bsize") + 1) - F.col("rn")
+            ).alias("run_len"),
         )
-        # runs-sized (<= one row per value change) and consumed by two
-        # branches below — cache instead of recomputing the scan+window
+        .withColumn("max_rn", F.col("min_rn") + F.col("run_len") - 1)
+        # runs-sized and consumed by two branches below — cache instead
+        # of recomputing the scan+window
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bsize = F.max("max_rn").over(Window.partitionBy("bucket"))
     flagged = segs.withColumn(
-        "is_boundary", (F.col("min_rn") == 1) | (F.col("max_rn") == bsize)
+        "is_boundary", (F.col("min_rn") == 1) | (F.col("max_rn") == F.col("bsize"))
     )
     interior = flagged.filter(~F.col("is_boundary")).select("value", "run_len")
     boundary = flagged.filter(F.col("is_boundary")).select(
