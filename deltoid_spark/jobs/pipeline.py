@@ -844,8 +844,12 @@ def _decode_fragments(
             if name == content_col:
                 continue
             fr[name] = _from_storage(api.decode_block(bufs[name]), ddl)
-        keys = _key_series(pd.DataFrame(fr), key_cols) if fr else pd.Series([], dtype=object)
         if content_col is not None:
+            keys = (
+                _key_series(pd.DataFrame(fr), key_cols)
+                if fr
+                else pd.Series([], dtype=object)
+            )
             gsizes = _group_sizes(keys)
             starts = _group_starts(gsizes)
             gkeys = keys.to_numpy(dtype=object)[starts] if len(starts) else []
@@ -873,8 +877,9 @@ def make_decode_kernel(
     spec: list[tuple[str, str]],
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
     content_col: str | None = DEFAULT_CONTENT_COL,
+    out_names: list[str] | None = None,
 ):
-    names = [n for n, _ in spec]
+    names = out_names if out_names is not None else [n for n, _ in spec]
 
     def decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         out, _tails, _counts = _decode_fragments(pdf, spec, key_cols, content_col)
@@ -899,14 +904,48 @@ def _active_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     return blocks.join(F.broadcast(active), ["part_id", "run_id"])
 
 
-def decode(spark: SparkSession, out_dir: str, with_part_id: bool = False) -> DataFrame:
-    """Run J2: reconstruct the original rows from blocks."""
+def decode(
+    spark: SparkSession,
+    out_dir: str,
+    with_part_id: bool = False,
+    columns: list[str] | None = None,
+    parts: list[int] | None = None,
+) -> DataFrame:
+    """Run J2: reconstruct the original rows from blocks.
+
+    columns prunes at the BLOCK level: un-requested columns' payloads
+    are filtered out before they reach the Python worker, and their
+    kernels never run (decoding content still pulls the key columns in
+    internally — chain seeding needs group identity — but only the
+    requested columns are returned).  parts prunes whole partitions via
+    the manifest, the partition-pruning analog.
+    """
     info = read_table_spec(spark, out_dir)
-    row_schema = ", ".join(f"{name} {ddl}" for name, ddl in info["spec"])
-    kernel = make_decode_kernel(info["spec"], info["key_cols"], info["content_col"])
+    spec = info["spec"]
+    if columns is not None:
+        unknown = set(columns) - {n for n, _ in spec}
+        if unknown:
+            raise ValueError(f"unknown columns {sorted(unknown)}")
+        internal = set(columns)
+        if info["content_col"] in internal:
+            internal |= set(info["key_cols"])  # chain seeds need group keys
+        decode_spec = [(n, d) for n, d in spec if n in internal]
+        out_spec = [(n, d) for n, d in spec if n in set(columns)]
+    else:
+        decode_spec = out_spec = spec
+    row_schema = ", ".join(f"{name} {ddl}" for name, ddl in out_spec)
+    content = info["content_col"] if any(n == info["content_col"] for n, _ in decode_spec) else None
+    kernel = make_decode_kernel(
+        decode_spec, info["key_cols"], content,
+        out_names=[n for n, _ in out_spec],
+    )
     blocks = _active_blocks(spark, out_dir)
+    if columns is not None:
+        wanted = [n for n, _ in decode_spec]
+        blocks = blocks.filter(F.col("column").isin(wanted))
+    if parts is not None:
+        blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     if with_part_id:
-        names = [n for n, _ in info["spec"]]
 
         def kernel_with_part(pdf: pd.DataFrame) -> pd.DataFrame:
             out = kernel(pdf)

@@ -197,3 +197,40 @@ def test_nested_columns_roundtrip(spark, tmp_path_factory):
 
     codecs = [json.loads(r["codecs"]) for r in manifest.collect()]
     assert all(c["tags"] == "mapdelta" and c["labels"] == "strlist" for c in codecs)
+
+
+def test_selective_decode_columns_and_parts(spark, tmp_path_factory):
+    import collections
+
+    out = str(tmp_path_factory.mktemp("seldec"))
+    pdf = codegen.generate(2_000)
+    df = spark.createDataFrame(pdf)
+    encode(spark, df, out, target_rows=500)
+
+    # column pruning: only the requested kernels run, values match
+    langs = decode(spark, out, columns=["lang"])
+    assert langs.columns == ["lang"]
+    assert (
+        collections.Counter(r["lang"] for r in langs.collect())
+        == collections.Counter(pdf["lang"])
+    )
+
+    # content decode pulls keys internally but returns only what's asked
+    rc = decode(spark, out, columns=["repo", "content"])
+    assert rc.columns == ["repo", "content"]
+    got = collections.Counter(
+        (r["repo"], r["content"]) for r in rc.collect()
+    )
+    want = collections.Counter(zip(pdf["repo"], pdf["content"]))
+    assert got == want
+
+    # partition pruning via the manifest
+    some_part = decode(spark, out, with_part_id=True).select("part_id").first()[0]
+    only = decode(spark, out, parts=[some_part], with_part_id=True)
+    assert only.select("part_id").distinct().collect()[0][0] == some_part
+    assert 0 < only.count() < len(pdf)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        decode(spark, out, columns=["nope"])
