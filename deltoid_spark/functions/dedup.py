@@ -111,6 +111,46 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
     )
 
 
+def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) -> DataFrame:
+    """Exact n-gram Jaccard for every LSH candidate pair (the verify
+    stage of the classic dedup pipeline: shingle -> minhash -> band ->
+    candidate -> EXACT similarity).
+
+    Fully relational: distinct shingle sets self-join on the gram for
+    intersection counts; |A ∪ B| = |A| + |B| − |A ∩ B|.  The join is
+    bounded by the (already banded) candidate list, never all pairs.
+    jaccard is returned as an integer permille for cross-engine
+    value-hash exactness.
+    """
+    pairs = lsh_candidate_pairs(docs, bands)
+    grams = char_shingles(docs, width).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("union_n"),
+            F.floor(
+                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long").alias("jaccard_x1000"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash64(text: str) -> int:
     """Pure-python reference SimHash (the unit-test oracle for simhash()).
 

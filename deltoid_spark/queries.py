@@ -314,9 +314,9 @@ def _q18_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
-def _q18_oracle() -> str:
-    """MinHash-LSH candidate pairs: identical md5 minhash + band join in
-    DuckDB (shingle -> 8 seeded-md5 mins -> 4 bands of 2 -> bucket join)."""
+def _lsh_pair_ctes() -> str:
+    """Shared DuckDB CTE chain: shingles -> double-hashed minhash ->
+    banded buckets -> candidate pairs (mirrors functions/dedup.py)."""
     k, bands = dedup.N_MINHASH, dedup.N_BANDS
     per_band = k // bands
     mins = ",\n         ".join(
@@ -345,11 +345,48 @@ mh AS (
          {mins}
   FROM hh GROUP BY doc_id),
 banded AS (
-  {band_selects})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+  {band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)"""
+
+
+def _q18_oracle() -> str:
+    """MinHash-LSH candidate pairs: identical md5 minhash + band join in
+    DuckDB (shingle -> 8 seeded-md5 mins -> 4 bands of 2 -> bucket join)."""
+    return f"""
+{_lsh_pair_ctes()}
+SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """
+
+
+def _q26_oracle() -> str:
+    """Exact shingle-Jaccard for every LSH candidate pair."""
+    return f"""
+{_lsh_pair_ctes()},
+gs AS (SELECT DISTINCT doc_id, g FROM g),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN gs a ON a.doc_id = p.doc_a
+  JOIN gs b ON b.doc_id = p.doc_b AND b.g = a.g
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS BIGINT) AS union_n,
+       CAST(FLOOR(COALESCE(i.inter, 0) * 1000 /
+                  (sa.n + sb.n - COALESCE(i.inter, 0))) AS BIGINT) AS jaccard_x1000
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def _q26_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_verify(load(spark, sf_dir, "documents"))
 
 
 def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +540,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
+    "q26_jaccard_verify": (_q26_jaccard_verify, _q26_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
