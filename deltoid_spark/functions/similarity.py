@@ -98,6 +98,38 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold_x10000: int = 3000,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same-LSH-bucket self-join ->
+    exact cosine -> threshold.  Never all-pairs: candidates are bounded
+    by bucket collisions (the sign-LSH guarantee that high-cosine pairs
+    collide with high probability).  Threshold compares against the
+    x10000-rounded similarity so any engine reproduces the cut exactly.
+    """
+    b = random_hyperplane_buckets(emb, n_planes, seed)
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")) * 10000).cast("long")
+    return (
+        a.join(c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", sim.alias("cos_x10000"))
+        .filter(F.col("cos_x10000") >= threshold_x10000)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -389,6 +389,23 @@ def _q26_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(load(spark, sf_dir, "documents"))
 
 
+def _q27_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def _q27_oracle() -> str:
+    """Embedding near-dup pairs: same buckets, exact cosine, same cut."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cos_x10000
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) >= 3000
+ORDER BY vec_a, vec_b
+"""
+
+
 def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load(spark, sf_dir, "documents"), prefix_bits=12)
 
@@ -431,13 +448,12 @@ def _q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
 
 
-def _q20_oracle(n_planes: int = 6, seed: int = 42) -> str:
-    """LSH-ANN oracle: the same md5-derived hyperplanes in DuckDB.
+def _bucket_sql(n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB expression for the sign-LSH bucket of DOUBLE[] column v.
 
     Projections fold sequentially (list_reduce after an index-ordered
     list_transform) exactly like Spark's aggregate() fold, so the sign
-    bits — and hence the probed bucket — are bit-identical.
-    """
+    bits — and hence the bucket — are bit-identical."""
 
     def coeff(p: int) -> str:
         return (
@@ -445,11 +461,15 @@ def _q20_oracle(n_planes: int = 6, seed: int = 42) -> str:
             f"'_{p}_{seed}')), 1, 8)) AS BIGINT) % 20001 - 10000) / 10000.0"
         )
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), "
         f"j -> v[j] * {coeff(p)}), (a, x) -> a + x) >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
+
+
+def _q20_oracle(n_planes: int = 6, seed: int = 42) -> str:
+    bucket = _bucket_sql(n_planes, seed)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
@@ -543,6 +563,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q26_jaccard_verify": (_q26_jaccard_verify, _q26_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
+    "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
     "q13_lang_id": (_q13_spark, _Q13_ORACLE),
     "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
