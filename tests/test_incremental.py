@@ -146,3 +146,18 @@ def test_vacuum_reclaims_superseded_blocks(spark, split_batches, tmp_path_factor
     # idempotent: second vacuum reclaims nothing
     again = vacuum(spark, out)
     assert again["bytes_reclaimed"] == 0
+
+
+def test_append_on_clustered_base(spark, split_batches, tmp_path_factory):
+    """Chains appended onto a zero-shuffle (fragmented) base must still
+    round-trip: encode- and decode-side tail threading walk the same
+    (generation, fragment) order."""
+    pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("clu_app"))
+    src = str(tmp_path_factory.mktemp("clu_src"))
+    codegen.write_parquet(a.reset_index(drop=True), src, n_shards=6)
+    encode(spark, spark.read.parquet(src), out, target_rows=500, mode="clustered")
+    encode_append(spark, spark.createDataFrame(b), out)
+    full = spark.createDataFrame(pdf)
+    report = verify(spark, full, decode(spark, out))
+    assert report["ok"], report
