@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 import pytest
 
 from deltoid_spark.fixtures import codegen

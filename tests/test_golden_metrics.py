@@ -10,9 +10,6 @@ reference's golden serialized-delta assertions,
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from deltoid_spark.fixtures import codegen
 from deltoid_spark.jobs.pipeline import make_encode_kernel
 from deltoid_spark.kernels import api
