@@ -113,3 +113,44 @@ def test_empty_input(spark, tmp_path_factory):
     manifest = encode(spark, empty, out, target_rows=100)
     assert manifest.count() == 0
     assert decode(spark, out).count() == 0
+
+
+def test_encode_output_deterministic_across_runs_and_parallelism(spark, tiny_df, tmp_path_factory):
+    """Same input -> byte-identical payload SET regardless of run or
+    (for grouped mode) shuffle parallelism — the job-level analog of the
+    kernel golden-determinism test (checkpoint resume verifies work by
+    hash, so this is a hard invariant)."""
+    import hashlib
+
+    def payload_set(out):
+        rows = spark.read.parquet(f"{out}/blocks").select(
+            "part_id", "frag_id", "column", "payload"
+        ).collect()
+        return sorted(
+            (r["part_id"], r["frag_id"], r["column"],
+             hashlib.sha256(bytes(r["payload"])).hexdigest())
+            for r in rows
+        )
+
+    out1 = str(tmp_path_factory.mktemp("det1"))
+    out2 = str(tmp_path_factory.mktemp("det2"))
+    encode(spark, tiny_df, out1, target_rows=500)
+    encode(spark, tiny_df.repartition(13), out2, target_rows=500)
+    assert payload_set(out1) == payload_set(out2)
+
+
+def test_clustered_failure_isolation(spark, tiny_df, tmp_path_factory):
+    """Per-part-group try/except also holds in zero-shuffle mode."""
+    from deltoid_spark.jobs import decode as _decode
+
+    out = str(tmp_path_factory.mktemp("clupoison"))
+    manifest = encode(
+        spark, tiny_df, out, target_rows=500, mode="clustered",
+        _fail_inject="org0/repo0",
+    )
+    rows = manifest.collect()
+    assert any(r["status"] == "failed" for r in rows)
+    assert any(r["status"] == "committed" for r in rows)
+    decoded = _decode(spark, out)
+    assert decoded.filter(F.col("repo") == "org0/repo0").count() == 0
+    assert decoded.count() > 0
