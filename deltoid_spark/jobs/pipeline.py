@@ -565,7 +565,7 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         .filter(F.col("status") == "committed")
         .cache()
     )
-    blocks = spark.read.parquet(blocks_path)
+    blocks = _read_blocks(spark, blocks_path)
     before = blocks.agg(
         F.count("*").alias("n"), F.sum("enc_bytes").alias("b")
     ).collect()[0]
@@ -592,10 +592,23 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def _read_blocks(spark: SparkSession, blocks_path: str) -> DataFrame:
+    """Typed read of the blocks dir; an all-empty run (partitionBy on an
+    empty frame) writes no files at all, which reads as an empty table."""
+    if _exists(spark, blocks_path):
+        return spark.read.parquet(blocks_path)
+    return spark.createDataFrame([], BLOCK_SCHEMA)
+
+
 def _write_blocks(blocks: DataFrame, blocks_path: str) -> None:
     # payloads are already zstd'd — parquet re-compression (snappy) would
-    # burn CPU + memory bandwidth on the dominant column for ~0 size win
-    blocks.write.mode("append").option("compression", "none").parquet(blocks_path)
+    # burn CPU + memory bandwidth on the dominant column for ~0 size win.
+    # Files partition by run_id so per-run reads (the manifest rebuild)
+    # and active-run filters (decode) prune whole directories instead of
+    # scanning every historical run's blocks.
+    blocks.write.mode("append").option("compression", "none").partitionBy(
+        "run_id"
+    ).parquet(blocks_path)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -615,7 +628,7 @@ def _manifest_rows_for_run(
 ) -> None:
     """Aggregate this run's written blocks into manifest rows (append)."""
     written = (
-        spark.read.parquet(os.path.join(out_dir, "blocks"))
+        _read_blocks(spark, os.path.join(out_dir, "blocks"))
         .filter(F.col("run_id") == run_id)
         .dropDuplicates(["part_id", "frag_id", "column"])
     )
@@ -895,7 +908,7 @@ _decode_partition = make_decode_kernel(DEFAULT_SPEC)
 def _active_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     """Block rows belonging to active committed manifest entries, with
     the manifest generation attached (fragment replay order)."""
-    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    blocks = _read_blocks(spark, os.path.join(out_dir, "blocks"))
     active = (
         _manifest_active(spark, os.path.join(out_dir, "manifest"))
         .filter(F.col("status") == "committed")
