@@ -736,6 +736,22 @@ def encode_append(
     dfp = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
 
     touched = dfp.select("part_id").distinct()
+    # refuse to append onto a FAILED base: the appended generation would
+    # be superseded (and its rows stranded) the moment a healing
+    # re-encode writes a newer replace generation for the partition
+    failed = (
+        _manifest_active(spark, os.path.join(out_dir, "manifest"))
+        .filter((F.col("kind") == "replace") & (F.col("status") == "failed"))
+        .join(F.broadcast(touched), "part_id", "left_semi")
+        .select("part_id")
+        .limit(20)
+        .collect()
+    )
+    if failed:
+        raise ValueError(
+            f"partitions {sorted(r['part_id'] for r in failed)} have a failed "
+            "base encode; re-run encode() to heal them before appending"
+        )
     existing = _active_blocks(spark, out_dir).join(
         F.broadcast(touched), "part_id", "left_semi"
     )
@@ -770,6 +786,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
     manifest_path = os.path.join(out_dir, "manifest")
     multi = (
         _manifest_active(spark, manifest_path)
+        .filter(F.col("status") == "committed")  # never fold failed rows in
         .groupBy("part_id")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)

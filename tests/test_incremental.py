@@ -161,3 +161,20 @@ def test_append_on_clustered_base(spark, split_batches, tmp_path_factory):
     full = spark.createDataFrame(pdf)
     report = verify(spark, full, decode(spark, out))
     assert report["ok"], report
+
+
+def test_append_refuses_failed_base(spark, split_batches, tmp_path_factory):
+    """Appending onto a failed partition would strand the appended rows
+    behind the healing re-encode's newer replace generation — refuse."""
+    _pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("appfail"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500,
+           _fail_inject="org0/repo0")
+    with pytest.raises(ValueError, match="failed base encode"):
+        encode_append(spark, spark.createDataFrame(b), out)
+
+    # heal, then the same append goes through and full parity holds
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+    encode_append(spark, spark.createDataFrame(b), out)
+    full = spark.createDataFrame(_pdf)
+    assert verify(spark, full, decode(spark, out))["ok"]
