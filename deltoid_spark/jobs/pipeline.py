@@ -574,7 +574,12 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     )
     tmp_blocks = blocks_path + "_vacuum"
     tmp_manifest = manifest_path + "_vacuum"
-    keep.write.mode("overwrite").option("compression", "none").parquet(tmp_blocks)
+    # keep the hive run_id layout — a flat rewrite would clash with the
+    # partitioned directories later appends create
+    keep.write.mode("overwrite").option("compression", "none").partitionBy(
+        "run_id"
+    ).parquet(tmp_blocks)
+    os.makedirs(tmp_blocks, exist_ok=True)  # fully-dead state writes nothing
     active.write.mode("overwrite").parquet(tmp_manifest)
     after = spark.read.parquet(tmp_blocks).agg(
         F.count("*").alias("n"), F.sum("enc_bytes").alias("b")

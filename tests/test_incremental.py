@@ -178,3 +178,18 @@ def test_append_refuses_failed_base(spark, split_batches, tmp_path_factory):
     encode_append(spark, spark.createDataFrame(b), out)
     full = spark.createDataFrame(_pdf)
     assert verify(spark, full, decode(spark, out))["ok"]
+
+
+def test_append_after_vacuum(spark, split_batches, tmp_path_factory):
+    """vacuum must preserve the hive run_id block layout so later
+    appends (which write run_id=... directories) still read cleanly."""
+    from deltoid_spark.jobs import vacuum
+
+    pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("vac_app"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+    encode(spark, spark.createDataFrame(a), out, target_rows=500, resume=False)  # dead run
+    vacuum(spark, out)
+    encode_append(spark, spark.createDataFrame(b), out)
+    full = spark.createDataFrame(pdf)
+    assert verify(spark, full, decode(spark, out))["ok"]
