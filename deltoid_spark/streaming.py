@@ -76,6 +76,44 @@ def decode_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return decode(spark, out_dir)
 
 
+def chain_head_stream(stream: DataFrame):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    tracks each (repo, path) chain's running head across micro-batches
+    — version count and latest commit — the streaming analog of the
+    reference's snapshot head (``DeltaSnapshots.current``,
+    /root/reference/deltoid/src/snapshot/delta.rs:81-95).  State lives
+    in the query's checkpointed state store, so a restarted stream
+    resumes exactly where the head left off.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, last = state.get if state.exists else (0, "")
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["commit"].max()
+            if batch_max is not None and str(batch_max) > last:
+                last = str(batch_max)
+        state.update((n, last))
+        yield pd.DataFrame(
+            {
+                "repo": [key[0]],
+                "path": [key[1]],
+                "n_versions": [n],
+                "head_commit": [last],
+            }
+        )
+
+    return stream.groupBy("repo", "path").applyInPandasWithState(
+        update,
+        "repo string, path string, n_versions long, head_commit string",
+        "n long, last string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -93,3 +93,57 @@ def test_decode_without_state_errors_clearly(spark, tmp_path_factory):
     empty = str(tmp_path_factory.mktemp("no_state"))
     with _pytest.raises(Exception):
         decode(spark, empty).collect()
+
+
+def test_chain_head_state_survives_across_drains(spark, tmp_path_factory):
+    """applyInPandasWithState: the per-(repo, path) head carries across
+    separate availableNow drains via the checkpointed state store."""
+    pdf = codegen.generate(2_000).sort_values(
+        ["repo", "path", "commit"], kind="mergesort"
+    )
+    grp = pdf.groupby(["repo", "path"])
+    half = grp.cumcount() < (grp["commit"].transform("size") + 1) // 2
+    in_dir = str(tmp_path_factory.mktemp("state_in"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+
+    out_dir = str(tmp_path_factory.mktemp("state_out"))
+
+    def drain(batch_pdf, name):
+        batch_pdf.to_parquet(os.path.join(in_dir, f"{name}.parquet"), index=False)
+        stream = spark.readStream.schema(streaming.INPUT_SCHEMA).parquet(in_dir)
+
+        def sink(df, bid):
+            import pyspark.sql.functions as F2
+
+            df.withColumn("bid", F2.lit(bid)).write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming.chain_head_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out_dir).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["bid"]):
+            latest[(r["repo"], r["path"])] = (r["n_versions"], r["head_commit"], r["bid"])
+        max_bid = max(r["bid"] for r in rows)
+        return {
+            k: (n, h) for k, (n, h, bid) in latest.items() if bid == max_bid
+        }
+
+    drain(pdf[half].reset_index(drop=True), "b0")
+    heads = drain(pdf[~half].reset_index(drop=True), "b1")
+
+    # groups updated in batch 1 must report TOTALS across both batches
+    sizes = pdf.groupby(["repo", "path"]).agg(n=("commit", "size"), mx=("commit", "max"))
+    checked = 0
+    for (repo, path), (n, head) in heads.items():
+        want = sizes.loc[(repo, path)]
+        assert n == want["n"], (repo, path, n, want["n"])
+        assert head == want["mx"]
+        checked += 1
+    assert checked > 10
