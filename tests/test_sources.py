@@ -63,3 +63,46 @@ def test_package_zip_self_contained(tmp_path):
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=str(tmp_path)
     )
     assert out.returncode == 0 and "zip-ok" in out.stdout, out.stderr[-500:]
+
+
+def test_orc_roundtrip(spark, tmp_path_factory):
+    from deltoid_spark import sources
+    from deltoid_spark.fixtures import codegen
+
+    pdf = codegen.generate(2_000).head(500)
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("orc")) + "/t"
+    sources.write_decoded(df, out, format="orc")
+    back = sources.read_code_table(spark, out, format="orc")
+    assert back.count() == 500
+    assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_read_raw_tree(spark, tmp_path):
+    import os
+
+    from deltoid_spark import sources
+    from deltoid_spark.jobs import decode, encode, verify
+
+    files = {
+        "src/a.py": "def a():\n    return 1\n",
+        "src/deep/b.rs": "fn b() {}\n",
+        "README.weird": "not a known language\n",
+    }
+    for rel, text in files.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+
+    df = sources.read_raw_tree(spark, str(tmp_path), repo="org/raw", commit="c0")
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == set(files)
+    assert rows["src/a.py"]["content"] == files["src/a.py"]
+    assert rows["src/a.py"]["lang"] == "python"
+    assert rows["src/deep/b.rs"]["lang"] == "rust"
+    assert rows["README.weird"]["lang"] == "unknown"
+
+    # the raw tree feeds straight into the encoder
+    out = str(tmp_path / "_state")
+    encode(spark, df, out, target_rows=100)
+    assert verify(spark, df, decode(spark, out))["ok"]
