@@ -60,9 +60,8 @@ def read_raw_tree(spark: SparkSession, root: str, repo: str, commit: str = "HEAD
         *[x for k, v in ext_lang.items() for x in (F.lit(k), F.lit(v))]
     )
     df = (
-        spark.read.option("wholetext", "true")
-        .option("recursiveFileLookup", "true")
-        .text(root)
+        spark.read.option("recursiveFileLookup", "true")
+        .text(root, wholetext=True)
         .select(
             F.input_file_name().alias("uri"),
             F.col("value").alias("content"),
