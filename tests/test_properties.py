@@ -180,3 +180,19 @@ def test_seeded_chain_continuation_property(groups):
         codec, meta, payload = blocks.unframe(buf_b)
         dec_b = chain.decode_chain(meta, payload, base_texts=base_texts)
         assert dec_b.tolist() == cont_rows
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.text(max_size=12), max_size=6),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_strlist_roundtrip_property(rows):
+    s = pd.Series(rows, dtype=object)
+    dec = api.decode_block(api.encode_block(s, "strlist"))
+    assert dec.tolist() == rows
