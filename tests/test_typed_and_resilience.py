@@ -234,3 +234,46 @@ def test_selective_decode_columns_and_parts(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         decode(spark, out, columns=["nope"])
+
+
+def test_randomized_typed_tables_roundtrip(spark, tmp_path_factory):
+    """Chaos sweep: several seeded random tables with mixed types, chain
+    shapes, null rates, and partition targets must all round-trip."""
+    import random as _random
+
+    import numpy as np
+
+    for seed in (7, 23, 99):
+        rng = _random.Random(seed)
+        nrng = np.random.default_rng(seed)
+        rows = []
+        n_files = rng.randint(5, 40)
+        for f in range(n_files):
+            repo = f"r{rng.randint(0, 4)}"
+            path = f"p{f}.txt"
+            n_versions = rng.randint(1, 12)
+            lines = [f"l{rng.randint(0, 50)}" for _ in range(rng.randint(0, 30))]
+            for v in range(n_versions):
+                if lines and rng.random() < 0.7:
+                    lines[rng.randrange(len(lines))] = f"e{v}_{rng.randint(0, 9)}"
+                if rng.random() < 0.3:
+                    lines.append(f"a{v}")
+                content = None if rng.random() < 0.05 else "\n".join(lines)
+                rows.append(
+                    (
+                        repo, path, f"c{v:04d}", content,
+                        None if rng.random() < 0.1 else rng.randint(-2**40, 2**40),
+                        None if rng.random() < 0.1 else float(nrng.standard_normal()),
+                        None if rng.random() < 0.1 else rng.random() < 0.5,
+                    )
+                )
+        df = spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, content string, "
+            "x bigint, y double, z boolean",
+        )
+        out = str(tmp_path_factory.mktemp(f"chaos{seed}"))
+        manifest = encode(spark, df, out, target_rows=rng.choice([20, 100, 10**6]))
+        assert all(r["status"] == "committed" for r in manifest.collect()), seed
+        report = verify(spark, df, decode(spark, out))
+        assert report["ok"], (seed, report)
