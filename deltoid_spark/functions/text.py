@@ -21,6 +21,28 @@ def n_tokens(col: str = "text") -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, constrained to constructs with
+# IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, explicit ASCII classes (\s differs between engines), and
+# leftmost-first alternation in both.
+BPE_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \\t\\n\\r]+"
+    "|[ \\t\\n\\r]+"
+)
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish token count: how a GPT-2-style pre-tokenizer would split
+    the text (contractions, letter runs, digit runs, punct runs,
+    whitespace runs) — the budget-relevant unit for training-data
+    pipelines, vs the coarser whitespace count of n_tokens()."""
+    quoted = BPE_PATTERN.replace("'", "''")
+    return F.size(F.expr(f"regexp_extract_all({col}, '{quoted}', 0)"))
+
+
 def occurrences(col: str, needle: str) -> Column:
     """Count non-overlapping occurrences of a literal (replace-diff trick)."""
     return (

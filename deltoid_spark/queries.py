@@ -389,6 +389,35 @@ def _q26_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(load(spark, sf_dir, "documents"))
 
 
+def _q28_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.bpe_token_count().alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.max("n_bpe").cast("long").alias("max_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q28_oracle() -> str:
+    """Same GPT-2-style pre-tokenizer pattern through DuckDB's RE2 —
+    constrained to constructs with identical Java-regex/RE2 semantics."""
+    quoted = text.BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT lang, length(regexp_extract_all(text, '{quoted}', 0)) AS n_bpe
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 def _q27_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"))
 
@@ -564,6 +593,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
+    "q28_bpe_token_stats": (_q28_bpe_tokens, _q28_oracle()),
     "q12_token_stats": (_q12_spark, _Q12_ORACLE),
     "q13_lang_id": (_q13_spark, _Q13_ORACLE),
     "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
