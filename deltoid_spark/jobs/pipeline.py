@@ -134,11 +134,54 @@ def _storage_int64(s: pd.Series, ddl: str) -> pd.Series:
         vals = pd.to_datetime(s).fillna(pd.Timestamp(0)).astype("int64") // _NS_PER_DAY
     elif ddl == "boolean":
         vals = s.fillna(False).astype("int64")
-    else:  # int family; nullable ints arrive as float64 from Arrow
+    else:
+        # int family.  The encode jobs shield nullable ints Spark-side
+        # (coalesce + mask companion, _shield_int_cols) so s arrives as
+        # exact int64/Int64 here; a float64 arrival means an unshielded
+        # caller, where values past 2^53 may already be rounded — fail
+        # the partition rather than corrupt silently (ADVICE r02).
+        if s.dtype.kind == "f":
+            nn = s.dropna().to_numpy()
+            if len(nn) and float(np.abs(nn).max()) >= float(2**53):
+                raise ValueError(
+                    f"int column ({ddl}) arrived as float64 with |v| >= 2^53; "
+                    "exact round-trip is not provable at the Arrow->pandas "
+                    "boundary — encode via the job API (nullable ints are "
+                    "shielded there) or pass an exact integer dtype"
+                )
         vals = s.fillna(0).astype("int64")
     out = pd.Series(np.asarray(vals, dtype=np.int64), dtype="Int64")
     out[mask.to_numpy()] = pd.NA
     return out
+
+
+# nullable int-family columns cross the Arrow -> pandas boundary of
+# applyInPandas as float64, silently rounding |v| > 2^53 (ADVICE r02).
+# The jobs sidestep the lossy boundary entirely: each nullable int
+# column travels as (coalesce(col, 0), isNull companion) and the kernel
+# rebuilds the exact nullable Int64 before encoding.
+_NMASK = "__isnull_"
+
+
+def _shield_int_cols(df: DataFrame, spec: list[tuple[str, str]]) -> DataFrame:
+    for name, ddl in spec:
+        if ddl in _INT_DDL:
+            df = df.withColumn(_NMASK + name, F.col(name).isNull()).withColumn(
+                name, F.coalesce(F.col(name), F.lit(0).cast(ddl))
+            )
+    return df
+
+
+def _unshield_int_cols(pdf: pd.DataFrame, spec: list[tuple[str, str]]) -> pd.DataFrame:
+    drop = []
+    for name, ddl in spec:
+        m = _NMASK + name
+        if ddl in _INT_DDL and m in pdf.columns:
+            vals = pd.Series(pdf[name].to_numpy(dtype=np.int64), dtype="Int64")
+            vals[pdf[m].to_numpy(dtype=bool)] = pd.NA
+            pdf[name] = vals
+            drop.append(m)
+    return pdf.drop(columns=drop) if drop else pdf
 
 
 def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
@@ -304,6 +347,7 @@ def make_encode_kernel(
         try:
             if fail_inject is not None and (pdf[key_cols[0]] == fail_inject).any():
                 raise RuntimeError(f"injected failure for {fail_inject!r}")
+            pdf = _unshield_int_cols(pdf, spec)
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
             rows = _encode_rows(
                 pdf, part_id, 0, spec, key_cols, content_col,
@@ -343,7 +387,7 @@ def make_fragment_kernel(
         if not tables:
             return
         t0 = time.time()
-        pdf = pa.Table.from_batches(tables).to_pandas()
+        pdf = _unshield_int_cols(pa.Table.from_batches(tables).to_pandas(), spec)
         pdf = pdf.sort_values(
             ["part_id", *sort_cols], kind="mergesort"
         ).reset_index(drop=True)
@@ -418,10 +462,19 @@ def _manifest_active(spark: SparkSession, manifest_path: str) -> DataFrame:
     """The manifest's active rows per part_id: the latest "replace"
     generation plus every later "append" generation (incremental batches
     extending that base).  Earlier replace rows and appends that a newer
-    replace superseded (compaction) drop out."""
+    replace superseded (compaction) drop out.
+
+    The replace anchor coalesces to -1 (gens are time_ns, so always
+    greater): a part_id whose ONLY generations are appends — new keys
+    hashing into a bucket the base run left empty — has no replace row,
+    and a NULL anchor would silently filter those appends out (the
+    ADVICE r02 data-loss scenario)."""
     m = spark.read.parquet(manifest_path)
     w = Window.partitionBy("part_id")
-    last_rep = F.max(F.when(F.col("kind") == "replace", F.col("gen"))).over(w)
+    last_rep = F.coalesce(
+        F.max(F.when(F.col("kind") == "replace", F.col("gen"))).over(w),
+        F.lit(-1).cast("long"),
+    )
     return (
         m.withColumn("_lr", last_rep)
         .filter(
@@ -517,6 +570,7 @@ def encode(
         )
         _write_partition_map(spark, out_dir, salt_map, pbase, n_small)
     df = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
+    df = _shield_int_cols(df, spec)
 
     if resume and _exists(spark, manifest_path):
         committed = (
@@ -629,7 +683,7 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 def _manifest_rows_for_run(
     spark: SparkSession, out_dir: str, run_id: str, gen: int,
-    spec: list[tuple[str, str]], kind: str,
+    spec: list[tuple[str, str]], kind: str, batch_id: str | None = None,
 ) -> None:
     """Aggregate this run's written blocks into manifest rows (append)."""
     written = (
@@ -668,6 +722,7 @@ def _manifest_rows_for_run(
         F.lit(run_id).alias("run_id"),
         F.lit(gen).alias("gen"),
         F.lit(kind).alias("kind"),
+        F.lit(batch_id).cast("string").alias("batch_id"),
     )
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
 
@@ -680,6 +735,7 @@ def make_append_kernel(
     keyframe_interval: int,
     level: int | None,
     run_id: str,
+    fail_inject: str | None = None,
 ):
     """Cogroup kernel: (new rows, existing active blocks) per part_id.
 
@@ -694,9 +750,12 @@ def make_append_kernel(
         t0 = time.time()
         if left.empty:
             return pd.DataFrame(columns=_BLOCK_COLS)
+        left = _unshield_int_cols(left, spec)
         part_id = int(left["part_id"].iloc[0])
         frag_id = int(right["frag_id"].max()) + 1 if len(right) else 0
         try:
+            if fail_inject is not None and (left[key_cols[0]] == fail_inject).any():
+                raise RuntimeError(f"injected failure for {fail_inject!r}")
             _rows, tails, tail_counts = _decode_fragments(
                 right, spec, key_cols, content_col
             )
@@ -719,6 +778,8 @@ def encode_append(
     out_dir: str,
     keyframe_interval: int = 32,
     level: int | None = None,
+    batch_id: str | None = None,
+    _fail_inject: str | None = None,
 ) -> DataFrame:
     """Incrementally encode a new batch into existing state (A18).
 
@@ -727,6 +788,14 @@ def encode_append(
     so chains EXTEND (delta against the stored tail) instead of
     restarting at keyframes.  Output is a new fragment per partition
     under a fresh run_id + manifest generation of kind="append".
+
+    batch_id makes retries idempotent (ADVICE r02): the id is recorded
+    on the manifest rows, and a re-run of the same batch skips every
+    partition that already committed under that id — so a partially
+    failed append (some partitions committed, some failed) can simply
+    be re-run without duplicating the committed partitions' rows.
+    Without a batch_id a re-run appends everything again (documented:
+    the reference's push_snapshot has the same at-least-once shape).
     """
     df = spark.read.parquet(source) if isinstance(source, str) else source
     info = read_table_spec(spark, out_dir)
@@ -739,6 +808,20 @@ def encode_append(
 
     salt_map, pbase, n_small = _read_partition_map(spark, out_dir)
     dfp = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
+    dfp = _shield_int_cols(dfp, spec)
+
+    if batch_id is not None:
+        already = (
+            spark.read.parquet(os.path.join(out_dir, "manifest"))
+            .filter(
+                (F.col("kind") == "append")
+                & (F.col("status") == "committed")
+                & (F.col("batch_id") == batch_id)
+            )
+            .select("part_id")
+            .distinct()
+        )
+        dfp = dfp.join(F.broadcast(already), "part_id", "left_anti")
 
     touched = dfp.select("part_id").distinct()
     # refuse to append onto a FAILED base: the appended generation would
@@ -765,7 +848,7 @@ def encode_append(
     gen = time.time_ns()
     kernel = make_append_kernel(
         spec, key_cols, info["order_cols"], info["content_col"],
-        keyframe_interval, level, run_id,
+        keyframe_interval, level, run_id, fail_inject=_fail_inject,
     )
     new_blocks = (
         dfp.groupBy("part_id")
@@ -773,7 +856,7 @@ def encode_append(
         .applyInPandas(kernel, BLOCK_SCHEMA)
     )
     _write_blocks(new_blocks, os.path.join(out_dir, "blocks"))
-    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append")
+    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append", batch_id)
     return _manifest_active(spark, os.path.join(out_dir, "manifest"))
 
 
@@ -803,6 +886,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
     rows = decode(spark, out_dir, with_part_id=True).join(
         F.broadcast(multi), "part_id", "left_semi"
     )
+    rows = _shield_int_cols(rows, info["spec"])
     run_id = uuid.uuid4().hex
     gen = time.time_ns()
     kernel = make_encode_kernel(
@@ -1007,6 +1091,10 @@ def verify(
     Joins on key_cols and compares a null-flagged digest over every
     other column; pre-aggregating per key makes duplicated/lost copies
     of a key visible without extra count() actions over each input.
+    The per-key aggregate is multiset-exact (ADVICE r02): count plus
+    the decimal sums of two independent 60-bit digest halves — an
+    order-insensitive fingerprint where {A,B,B} vs {A,A,B} differ,
+    unlike the earlier (count, min, max) which collides on those.
     """
     value_cols = [c for c in original.columns if c not in key_cols]
     ddls = {f.name: f.dataType.simpleString() for f in original.schema.fields}
@@ -1027,21 +1115,24 @@ def verify(
             parts.append(F.col(c).isNull().cast("string"))
             parts.append(F.coalesce(canonical(c), F.lit("")))
         digest = F.sha2(F.concat_ws("\x01", *parts), 256)
+        half = lambda pos: F.sum(  # noqa: E731
+            F.conv(F.substring(F.col("d"), pos, 15), 16, 10).cast("decimal(38,0)")
+        )
         return (
             df.select(*key_cols, digest.alias("d"))
             .groupBy(*key_cols)
             .agg(
                 F.count("*").alias(f"n_{tag}"),
-                F.min("d").alias(f"dmin_{tag}"),
-                F.max("d").alias(f"dmax_{tag}"),
+                half(1).alias(f"s1_{tag}"),
+                half(16).alias(f"s2_{tag}"),
             )
         )
 
     j = prep(original, "a").join(prep(decoded, "b"), list(key_cols), "full")
     bad = (
         (F.col("n_a") != F.col("n_b"))
-        | (F.col("dmin_a") != F.col("dmin_b"))
-        | (F.col("dmax_a") != F.col("dmax_b"))
+        | (F.col("s1_a") != F.col("s1_b"))
+        | (F.col("s2_a") != F.col("s2_b"))
     )
     agg = j.agg(
         F.count("*").alias("keys"),

@@ -49,7 +49,13 @@ def stream_encode(
         if not batch_df.take(1):
             return
         if _exists(spark, os.path.join(out_dir, "manifest")):
-            encode_append(spark, batch_df, out_dir, keyframe_interval=keyframe_interval)
+            # the micro-batch id keys idempotence: a foreachBatch retry
+            # of the same batch skips partitions it already committed
+            encode_append(
+                spark, batch_df, out_dir,
+                keyframe_interval=keyframe_interval,
+                batch_id=f"stream-{batch_id}",
+            )
         else:
             encode(
                 spark, batch_df, out_dir,
