@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import blocks
 from .intcodec import pack_ints, pack_ints_z, unpack_ints, unpack_ints_z
@@ -76,7 +78,7 @@ def _version_deltas(a: np.ndarray, b: np.ndarray):
     m = min(na, nb)
     if m:
         neq = a[:m] != b[:m]
-        edit_idx = np.flatnonzero(neq)
+        edit_idx = np.nonzero(neq)[0]
         p = int(edit_idx[0]) if len(edit_idx) else m
     else:
         edit_idx = np.zeros(0, dtype=np.int64)
@@ -87,12 +89,12 @@ def _version_deltas(a: np.ndarray, b: np.ndarray):
     max_s = m - p
     if max_s > 0:
         ne_tail = (a[na - max_s :] != b[nb - max_s :])[::-1]
-        last_ne = np.flatnonzero(ne_tail)
+        last_ne = np.nonzero(ne_tail)[0]
         s = int(last_ne[0]) if len(last_ne) else max_s
     else:
         s = 0
     return (
-        edit_idx.astype(np.int64), elines, adds, remove,
+        edit_idx, elines, adds, remove,
         p, na - p - s, b[p : nb - s],
     )
 
@@ -124,6 +126,25 @@ def encode_chain(
     assert int(np.sum(group_sizes)) == n, "group sizes must cover all rows"
     vals = contents.to_numpy(dtype=object)
     is_null = pd.isna(vals)
+    # ONE Arrow pass splits every version into lines (round-2 profile:
+    # per-version ``np.array(text.split("\n"))`` was the largest single
+    # CPU sink of the encode wall).  Version i's lines are then a
+    # zero-copy slice flat[loffs[i]:loffs[i+1]] of one object array.
+    if n:
+        la = pc.split_pattern(
+            pa.Array.from_pandas(contents, type=pa.large_utf8()), pattern="\n"
+        )
+        flat = la.values.to_numpy(zero_copy_only=False)
+        loffs = la.offsets.to_numpy().astype(np.int64)
+        # per-line char counts + prefix sums: every script-cost term in
+        # the loop becomes O(1) lookups instead of sum(map(len, lines))
+        line_lens = pc.utf8_length(la.values).to_numpy().astype(np.int64)
+        clen = np.concatenate(([0], np.cumsum(line_lens)))
+    else:
+        flat = np.zeros(0, dtype=object)
+        loffs = np.zeros(1, dtype=np.int64)
+        line_lens = np.zeros(0, dtype=np.int64)
+        clen = np.zeros(1, dtype=np.int64)
     n_groups = len(group_sizes)
     if base_texts is None:
         base_texts = [None] * n_groups
@@ -140,7 +161,7 @@ def encode_chain(
     add_counts: list[int] = []
     remove_counts: list[int] = []
     edit_indices: list[np.ndarray] = []
-    delta_lines: list[str] = []
+    delta_lines: list[np.ndarray] = []  # per-script line arrays, concat once
     splice_flags: list[bool] = []
 
     row = 0
@@ -162,18 +183,23 @@ def encode_chain(
                 (v0 + v) % keyframe_interval == 0 or cur_null or prev_null
             )
             if not force_key:
-                # one object-array conversion per version, one prefix
-                # comparison shared by both candidate scripts
-                new_arr = np.array(text.split("\n"), dtype=object)
+                # zero-copy lines slice; one prefix comparison shared by
+                # both candidate scripts
+                lo, hi = loffs[i], loffs[i + 1]
+                new_arr = flat[lo:hi]
                 eidx, elines, adds, rem, sp, sdel, sins = _version_deltas(
                     prev_arr, new_arr
                 )
-                pos_cost = _script_cost(
-                    sum(map(len, elines)) + sum(map(len, adds)), len(eidx) + 3
-                )
-                spl_cost = _script_cost(sum(map(len, sins)), 3)
+                # char totals via the prefix sums (no per-line len calls):
+                # edits index into new, adds/sins are contiguous new slices
+                m = hi - lo if len(prev_arr) > hi - lo else len(prev_arr)
+                echars = int(line_lens[lo + eidx].sum()) if len(eidx) else 0
+                achars = int(clen[hi] - clen[lo + m])
+                pos_cost = _script_cost(echars + achars, len(eidx) + 3)
+                spl_cost = _script_cost(int(clen[lo + sp + len(sins)] - clen[lo + sp]), 3)
                 # degrade to keyframe if neither script pays
-                if min(pos_cost, spl_cost) >= len(text):
+                text_chars = int(clen[hi] - clen[lo]) + (hi - lo - 1)
+                if min(pos_cost, spl_cost) >= text_chars:
                     force_key = True
                 elif spl_cost < pos_cost:
                     splice_flags.append(True)
@@ -181,7 +207,7 @@ def encode_chain(
                     add_counts.append(sp)
                     remove_counts.append(sdel)
                     edit_indices.append(np.zeros(0, dtype=np.int64))
-                    delta_lines.extend(sins)
+                    delta_lines.append(sins)
                     prev_arr = new_arr
                 else:
                     splice_flags.append(False)
@@ -189,14 +215,14 @@ def encode_chain(
                     add_counts.append(len(adds))
                     remove_counts.append(rem)
                     edit_indices.append(eidx)
-                    delta_lines.extend(elines)
-                    delta_lines.extend(adds)
+                    delta_lines.append(elines)
+                    delta_lines.append(adds)
                     prev_arr = new_arr
             if force_key:
                 is_key[i] = True
                 if not cur_null:
                     key_texts.append(text)
-                    prev_arr = np.array(text.split("\n"), dtype=object)
+                    prev_arr = flat[loffs[i] : loffs[i + 1]]
                 else:
                     prev_arr = None
             prev_null = cur_null
@@ -215,7 +241,10 @@ def encode_chain(
         np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64)
     )
     imeta, ipay = pack_ints_z(flat_idx)
-    lines_block = encode_plain(pd.Series(delta_lines, dtype=object), level)
+    flat_lines = (
+        np.concatenate(delta_lines) if delta_lines else np.zeros(0, dtype=object)
+    )
+    lines_block = encode_plain(pd.Series(flat_lines, dtype=object), level)
 
     meta = {
         "n": n, "k": keyframe_interval,

@@ -211,8 +211,17 @@ def decode_hex(meta: dict, payload: bytes) -> pd.Series:
     mask, payload = _apply_mask(meta, payload, n)
     lplen = meta["lplen"]
     half = unpack_ints(meta["lens"], payload[:lplen])
-    hexstr = blocks.decompress(payload[lplen:], meta["raw"]).hex()  # single C call
+    data = blocks.decompress(payload[lplen:], meta["raw"]).hex().encode()  # one C call
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(half * 2, out=offs[1:])
-    out = [hexstr[offs[i] : offs[i + 1]] for i in range(n)]
-    return _restore_nulls(out, mask)
+    # rebuild strings over the ascii buffer via Arrow offsets (as
+    # decode_plain does) — no per-row slicing loop
+    arr = pa.Array.from_buffers(
+        pa.large_utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    out = arr.to_pandas().astype(object)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    if mask is not None:
+        out[mask] = None
+    return out
