@@ -187,9 +187,7 @@ def _unshield_int_cols(pdf: pd.DataFrame, spec: list[tuple[str, str]]) -> pd.Dat
 def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
     """Encode one non-string column; returns (codec, buf, raw_bytes)."""
     if ddl == "array<string>":
-        flat = [x for row in s.dropna() for x in row]
-        raw = int(strings.utf8_view(pd.Series(flat, dtype=object))[0].sum())
-        return "strlist", mapdelta_kernel.encode_strlist(s), raw
+        return "strlist", mapdelta_kernel.encode_strlist(s), mapdelta_kernel.strlist_raw_bytes(s)
     raw = _WIDTHS[ddl] * len(s)
     if ddl in ("float", "double"):
         return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw
@@ -197,12 +195,7 @@ def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
 
 
 def _map_raw_bytes(s: pd.Series) -> int:
-    flat: list = []
-    for row in s.dropna():
-        d = mapdelta_kernel._as_dict(row)
-        flat.extend(d.keys())
-        flat.extend(v for v in d.values() if v is not None)
-    return int(strings.utf8_view(pd.Series(flat, dtype=object))[0].sum())
+    return mapdelta_kernel.map_raw_bytes(s)
 
 
 def _group_starts(gsizes: np.ndarray) -> np.ndarray:

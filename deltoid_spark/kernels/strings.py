@@ -85,7 +85,10 @@ def encode_plain(series: pd.Series, level: int | None = None) -> bytes:
     return blocks.frame("plain", meta, mb + lpay + comp)
 
 
-def decode_plain(meta: dict, payload: bytes) -> pd.Series:
+def decode_plain_arrow(meta: dict, payload: bytes) -> tuple[pa.Array, np.ndarray | None]:
+    """(LargeStringArray over the raw buffers, null mask) — callers that
+    stay in Arrow (dictionary codes, list rebuilds) skip the python-str
+    materialization entirely."""
     n = meta["n"]
     mask, payload = _apply_mask(meta, payload, n)
     lplen = meta["lplen"]
@@ -93,14 +96,18 @@ def decode_plain(meta: dict, payload: bytes) -> pd.Series:
     data = blocks.decompress(payload[lplen:], meta["raw"])
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
-    # rebuild a LargeStringArray over the raw buffers; to_pandas is C-speed
     arr = pa.Array.from_buffers(
         pa.large_utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
     )
-    out = arr.to_pandas().astype(object)
+    return arr, mask
+
+
+def decode_plain(meta: dict, payload: bytes) -> pd.Series:
+    arr, mask = decode_plain_arrow(meta, payload)
+    out = arr.to_pandas().astype(object)  # to_pandas is C-speed
     if mask is not None:
         out[mask] = None
-    elif n == 0:
+    elif len(arr) == 0:
         return pd.Series([], dtype=object)
     return out
 
