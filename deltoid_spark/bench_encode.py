@@ -73,7 +73,7 @@ def run(
     if mode == "clustered":
         encoded = dfp.mapInArrow(make_fragment_kernel(), BLOCK_SCHEMA)
     else:
-        encoded = dfp.groupBy("part_id").applyInPandas(make_encode_kernel(), BLOCK_SCHEMA)
+        encoded = dfp.groupBy("part_id").applyInArrow(make_encode_kernel(), BLOCK_SCHEMA)
     walls = []
     outs = []
     for _attempt in range(attempts):  # best-of-N: JIT + page cache warm, env noise

@@ -6,9 +6,10 @@ J3 ``verify``  — digest-parity audit of table vs table'
 
 Dataflow (J1): read parquet -> skew-aware deterministic ``part_id``
 (partitioning.py) -> **one planned shuffle** (``groupBy(part_id)``)
--> ``applyInPandas`` encode kernel (executor-local numpy; whole
-partition visible so (key...) chains are complete) -> blocks
-parquet + manifest parquet.
+-> ``applyInArrow`` encode kernel (executor-local numpy; whole
+partition visible so (key...) chains are complete; the kernel owns the
+Arrow -> pandas conversion so nullable ints and nested trees stay
+bit-exact) -> blocks parquet + manifest parquet.
 
 Typed columns: every scalar Spark type routes to a kernel — strings
 through the codec selector (the designated content column through the
@@ -83,8 +84,10 @@ ROW_SCHEMA = "repo string, path string, commit string, lang string, content stri
 # scalar Spark types the encoder routes (simpleString -> logical width)
 _INT_DDL = {"bigint": 8, "int": 4, "smallint": 2, "tinyint": 1}
 _WIDTHS = {**_INT_DDL, "boolean": 1, "timestamp": 8, "date": 4, "float": 4, "double": 8}
-# nested types: array<string> -> STRLIST; map<string,string> -> MAPDELTA
-# (keyed Add/Edit/Remove chains, reference hashmap.rs:57-85)
+# specialized nested codecs: array<string> -> STRLIST; map<string,string>
+# -> MAPDELTA (keyed Add/Edit/Remove chains, reference hashmap.rs:57-85).
+# Every OTHER struct/array/map tree routes to the recursive NESTED codec
+# (per-field leaf kernels, reference derive gen/mod.rs:423-430).
 _NESTED_DDL = {"array<string>", "map<string,string>"}
 SUPPORTED_DDL = {"string", *_WIDTHS, *_NESTED_DDL}
 
@@ -92,14 +95,17 @@ _NS_PER_DAY = 86_400 * 10**9
 
 
 def table_spec(df: DataFrame) -> list[tuple[str, str]]:
-    """(name, ddl) per column; rejects non-scalar types up front."""
+    """(name, ddl) per column; rejects unsupported types up front."""
+    from ..kernels import nested as nested_kernel
+
     spec = []
     for f in df.schema.fields:
         ddl = f.dataType.simpleString()
-        if ddl not in SUPPORTED_DDL:
+        if ddl not in SUPPORTED_DDL and not nested_kernel.is_supported_ddl(ddl):
             raise ValueError(
                 f"column {f.name!r} has unsupported type {ddl!r}; supported: "
-                f"{sorted(SUPPORTED_DDL)}"
+                f"scalars {sorted(SUPPORTED_DDL)} plus arbitrary "
+                "struct<...>/array<...>/map<...> trees over them"
             )
         spec.append((f.name, ddl))
     return spec
@@ -135,11 +141,12 @@ def _storage_int64(s: pd.Series, ddl: str) -> pd.Series:
     elif ddl == "boolean":
         vals = s.fillna(False).astype("int64")
     else:
-        # int family.  The encode jobs shield nullable ints Spark-side
-        # (coalesce + mask companion, _shield_int_cols) so s arrives as
-        # exact int64/Int64 here; a float64 arrival means an unshielded
-        # caller, where values past 2^53 may already be rounded — fail
-        # the partition rather than corrupt silently (ADVICE r02).
+        # int family.  The encode jobs enter through applyInArrow and
+        # convert with exact Int* dtypes (_table_to_pdf), so s arrives
+        # as int64/Int64 here; a float64 arrival means a caller on the
+        # lossy pandas boundary, where values past 2^53 may already be
+        # rounded — fail the partition rather than corrupt silently
+        # (ADVICE r02).
         if s.dtype.kind == "f":
             nn = s.dropna().to_numpy()
             if len(nn) and float(np.abs(nn).max()) >= float(2**53):
@@ -155,39 +162,52 @@ def _storage_int64(s: pd.Series, ddl: str) -> pd.Series:
     return out
 
 
-# nullable int-family columns cross the Arrow -> pandas boundary of
-# applyInPandas as float64, silently rounding |v| > 2^53 (ADVICE r02).
-# The jobs sidestep the lossy boundary entirely: each nullable int
-# column travels as (coalesce(col, 0), isNull companion) and the kernel
-# rebuilds the exact nullable Int64 before encoding.
-_NMASK = "__isnull_"
+# Spark's applyInPandas boundary converts nullable int columns to
+# float64 (rounding |v| > 2^53) and nested int leaves likewise (ADVICE
+# r02).  The encode kernels therefore take their input through
+# applyInArrow / mapInArrow and convert Arrow -> pandas THEMSELVES:
+# nullable ints map to pandas' exact Int* extension dtypes, nested
+# trees stay python objects via to_pylist — bit-exact end to end.
+_PA_NULLABLE_INTS = {
+    pa.int64(): pd.Int64Dtype(),
+    pa.int32(): pd.Int32Dtype(),
+    pa.int16(): pd.Int16Dtype(),
+    pa.int8(): pd.Int8Dtype(),
+}
 
 
-def _shield_int_cols(df: DataFrame, spec: list[tuple[str, str]]) -> DataFrame:
-    for name, ddl in spec:
-        if ddl in _INT_DDL:
-            df = df.withColumn(_NMASK + name, F.col(name).isNull()).withColumn(
-                name, F.coalesce(F.col(name), F.lit(0).cast(ddl))
-            )
-    return df
-
-
-def _unshield_int_cols(pdf: pd.DataFrame, spec: list[tuple[str, str]]) -> pd.DataFrame:
-    drop = []
-    for name, ddl in spec:
-        m = _NMASK + name
-        if ddl in _INT_DDL and m in pdf.columns:
-            vals = pd.Series(pdf[name].to_numpy(dtype=np.int64), dtype="Int64")
-            vals[pdf[m].to_numpy(dtype=bool)] = pd.NA
-            pdf[name] = vals
-            drop.append(m)
-    return pdf.drop(columns=drop) if drop else pdf
+def _table_to_pdf(tbl: pa.Table, spec: list[tuple[str, str]]) -> pd.DataFrame:
+    ddls = dict(spec)
+    cols: dict[str, pd.Series] = {}
+    for name in tbl.schema.names:
+        col = tbl.column(name)
+        ddl = ddls.get(name, "")
+        if ddl.startswith(("struct<", "array<", "map<")):
+            # exact python objects (ints stay ints); the nested/strlist/
+            # mapdelta kernels re-enter Arrow from these without loss
+            cols[name] = pd.Series(col.to_pylist(), dtype=object)
+        elif ddl == "timestamp":
+            s = col.to_pandas()
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)  # session-local wall time
+            cols[name] = s
+        else:
+            cols[name] = col.to_pandas(types_mapper=_PA_NULLABLE_INTS.get)
+    return pd.DataFrame(cols)
 
 
 def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
     """Encode one non-string column; returns (codec, buf, raw_bytes)."""
     if ddl == "array<string>":
         return "strlist", mapdelta_kernel.encode_strlist(s), mapdelta_kernel.strlist_raw_bytes(s)
+    if ddl not in _WIDTHS:  # struct<...> / array<...> / map<...> tree
+        from ..kernels import nested as nested_kernel
+
+        return (
+            "nested",
+            nested_kernel.encode_nested(s, ddl),
+            nested_kernel.nested_raw_bytes(s, ddl),
+        )
     raw = _WIDTHS[ddl] * len(s)
     if ddl in ("float", "double"):
         return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw
@@ -288,7 +308,7 @@ def _encode_rows(
             else:
                 codec, _stats, buf = selector.select_and_encode(s)
             sha = api.sha256_column(s, view) if col == content_col else None
-        elif ddl.startswith("map<"):
+        elif ddl == "map<string,string>":
             # keyed Add/Edit/Remove chains over the same group layout the
             # content column uses (reference HashMap::delta)
             codec = "mapdelta"
@@ -334,13 +354,13 @@ def make_encode_kernel(
     spec = spec or DEFAULT_SPEC
     sort_cols = [*key_cols, *order_cols]
 
-    def encode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_partition(tbl: pa.Table) -> pa.Table:
         t0 = time.time()
+        pdf = _table_to_pdf(tbl, spec)
         part_id = int(pdf["part_id"].iloc[0])
         try:
             if fail_inject is not None and (pdf[key_cols[0]] == fail_inject).any():
                 raise RuntimeError(f"injected failure for {fail_inject!r}")
-            pdf = _unshield_int_cols(pdf, spec)
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
             rows = _encode_rows(
                 pdf, part_id, 0, spec, key_cols, content_col,
@@ -348,7 +368,10 @@ def make_encode_kernel(
             )
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             rows = [_error_row(part_id, 0, len(pdf), exc, run_id, t0)]
-        return pd.DataFrame(rows, columns=_BLOCK_COLS)
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=_BLOCK_COLS),
+            schema=_block_arrow_schema(), preserve_index=False,
+        )
 
     return encode_partition
 
@@ -380,7 +403,7 @@ def make_fragment_kernel(
         if not tables:
             return
         t0 = time.time()
-        pdf = _unshield_int_cols(pa.Table.from_batches(tables).to_pandas(), spec)
+        pdf = _table_to_pdf(pa.Table.from_batches(tables), spec)
         pdf = pdf.sort_values(
             ["part_id", *sort_cols], kind="mergesort"
         ).reset_index(drop=True)
@@ -563,7 +586,6 @@ def encode(
         )
         _write_partition_map(spark, out_dir, salt_map, pbase, n_small)
     df = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
-    df = _shield_int_cols(df, spec)
 
     if resume and _exists(spark, manifest_path):
         committed = (
@@ -583,7 +605,9 @@ def encode(
     if mode == "clustered":
         blocks = df.mapInArrow(make_fragment_kernel(**kw), BLOCK_SCHEMA)
     else:
-        blocks = df.groupBy("part_id").applyInPandas(make_encode_kernel(**kw), BLOCK_SCHEMA)
+        # applyInArrow, not applyInPandas: the kernel owns the Arrow ->
+        # pandas conversion (exact nullable ints, exact nested trees)
+        blocks = df.groupBy("part_id").applyInArrow(make_encode_kernel(**kw), BLOCK_SCHEMA)
     _write_blocks(blocks, blocks_path)
 
     # manifest rows for THIS run only (from the tiny written blocks
@@ -739,11 +763,12 @@ def make_append_kernel(
     """
     sort_cols = [*key_cols, *order_cols]
 
-    def append_partition(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def append_partition(left_t: pa.Table, right_t: pa.Table) -> pa.Table:
         t0 = time.time()
-        if left.empty:
-            return pd.DataFrame(columns=_BLOCK_COLS)
-        left = _unshield_int_cols(left, spec)
+        if left_t.num_rows == 0:
+            return _block_arrow_schema().empty_table()
+        left = _table_to_pdf(left_t, spec)
+        right = right_t.to_pandas()  # block rows: binary payloads, exact
         part_id = int(left["part_id"].iloc[0])
         frag_id = int(right["frag_id"].max()) + 1 if len(right) else 0
         try:
@@ -760,7 +785,10 @@ def make_append_kernel(
             )
         except Exception as exc:  # noqa: BLE001
             rows = [_error_row(part_id, frag_id, len(left), exc, run_id, t0)]
-        return pd.DataFrame(rows, columns=_BLOCK_COLS)
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=_BLOCK_COLS),
+            schema=_block_arrow_schema(), preserve_index=False,
+        )
 
     return append_partition
 
@@ -801,7 +829,6 @@ def encode_append(
 
     salt_map, pbase, n_small = _read_partition_map(spark, out_dir)
     dfp = apply_partition_map(df.select(*cols), salt_map, pbase, n_small, key_cols)
-    dfp = _shield_int_cols(dfp, spec)
 
     if batch_id is not None:
         already = (
@@ -846,7 +873,7 @@ def encode_append(
     new_blocks = (
         dfp.groupBy("part_id")
         .cogroup(existing.groupBy("part_id"))
-        .applyInPandas(kernel, BLOCK_SCHEMA)
+        .applyInArrow(kernel, BLOCK_SCHEMA)
     )
     _write_blocks(new_blocks, os.path.join(out_dir, "blocks"))
     _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append", batch_id)
@@ -879,7 +906,6 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
     rows = decode(spark, out_dir, with_part_id=True).join(
         F.broadcast(multi), "part_id", "left_semi"
     )
-    rows = _shield_int_cols(rows, info["spec"])
     run_id = uuid.uuid4().hex
     gen = time.time_ns()
     kernel = make_encode_kernel(
@@ -887,7 +913,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
         order_cols=info["order_cols"], content_col=info["content_col"],
         run_id=run_id,
     )
-    blocks = rows.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+    blocks = rows.groupBy("part_id").applyInArrow(kernel, BLOCK_SCHEMA)
     _write_blocks(blocks, os.path.join(out_dir, "blocks"))
     _manifest_rows_for_run(spark, out_dir, run_id, gen, info["spec"], "replace")
     return _manifest_active(spark, manifest_path)
@@ -898,7 +924,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def _from_storage(s: pd.Series, ddl: str) -> pd.Series:
     """Cast a decoded storage series back to the column's pandas shape."""
-    if ddl == "string" or ddl in _NESTED_DDL or ddl.startswith(("map<", "array<")):
+    if ddl == "string" or ddl.startswith(("map<", "array<", "struct<")):
         return s.astype(object) if len(s) else pd.Series([], dtype=object)
     if ddl in ("float", "double"):
         return s  # FP codec already yields Float32/Float64 nullable

@@ -7,7 +7,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from . import blocks, chain, floats, fsst, intcodec, mapdelta, strings
+from . import blocks, chain, floats, fsst, intcodec, mapdelta, nested, strings
 
 STRING_CODECS = ("plain", "dict", "rle", "hex", "fsst")
 
@@ -33,6 +33,8 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
         return mapdelta.encode_mapdelta(series, **kw)
     if codec == "strlist":
         return mapdelta.encode_strlist(series, **kw)
+    if codec == "nested":
+        return nested.encode_nested(series, **kw)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -60,6 +62,8 @@ def decode_block(buf: bytes, **kw) -> pd.Series:
         return mapdelta.decode_mapdelta(meta, payload)
     if codec == "strlist":
         return mapdelta.decode_strlist(meta, payload)
+    if codec == "nested":
+        return nested.decode_nested(meta, payload)
     raise ValueError(f"unknown codec {codec!r}")
 
 

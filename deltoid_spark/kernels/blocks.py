@@ -40,6 +40,7 @@ CODEC_IDS = {
     "fp": 7,  # fixed-width IEEE float lanes + zstd
     "mapdelta": 8,  # keyed Add/Edit/Remove map deltas (HashMap::delta)
     "strlist": 9,  # array<string>: packed lengths + flattened elements
+    "nested": 10,  # recursive struct/array/map tree, per-leaf scalar codecs
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

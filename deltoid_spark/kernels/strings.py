@@ -63,9 +63,8 @@ def _restore_nulls(values: list | np.ndarray, mask: np.ndarray | None) -> pd.Ser
 # (offsets, data) buffers — no per-string Python encode or join.
 
 
-def utf8_view(series: pd.Series) -> tuple[np.ndarray, bytes]:
-    """(byte_lengths, concatenated utf-8 data) via Arrow buffers (C path)."""
-    arr = pa.Array.from_pandas(series, type=pa.large_utf8())
+def arrow_utf8_view(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(byte_lengths, concatenated utf-8 data) of a LargeStringArray."""
     if len(arr) == 0:
         return np.zeros(0, np.int64), b""
     bufs = arr.buffers()
@@ -75,14 +74,37 @@ def utf8_view(series: pd.Series) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
+def utf8_view(series: pd.Series) -> tuple[np.ndarray, bytes]:
+    """(byte_lengths, concatenated utf-8 data) via Arrow buffers (C path)."""
+    return arrow_utf8_view(pa.Array.from_pandas(series, type=pa.large_utf8()))
+
+
+def _frame_plain(
+    n: int, mask: np.ndarray, lengths: np.ndarray, data: bytes, level
+) -> bytes:
+    lmeta, lpay = pack_ints(lengths)
+    comp = blocks.compress(data, level)
+    meta = {"n": n, "lens": lmeta, "lplen": len(lpay), "raw": len(data)}
+    mb = _mask_meta(meta, mask)
+    return blocks.frame("plain", meta, mb + lpay + comp)
+
+
 def encode_plain(series: pd.Series, level: int | None = None) -> bytes:
     mask = series.isna().to_numpy()
     lengths, data = utf8_view(series)
-    lmeta, lpay = pack_ints(lengths)
-    comp = blocks.compress(data, level)
-    meta = {"n": len(series), "lens": lmeta, "lplen": len(lpay), "raw": len(data)}
-    mb = _mask_meta(meta, mask)
-    return blocks.frame("plain", meta, mb + lpay + comp)
+    return _frame_plain(len(series), mask, lengths, data, level)
+
+
+def encode_plain_arrow(arr: pa.Array, level: int | None = None) -> bytes:
+    """encode_plain straight off a LargeStringArray — no python strings."""
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    else:
+        mask = np.zeros(len(arr), dtype=bool)
+    lengths, data = arrow_utf8_view(arr)
+    return _frame_plain(len(arr), mask, lengths, data, level)
 
 
 def decode_plain_arrow(meta: dict, payload: bytes) -> tuple[pa.Array, np.ndarray | None]:

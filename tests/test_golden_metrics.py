@@ -15,10 +15,17 @@ from deltoid_spark.jobs.pipeline import make_encode_kernel
 from deltoid_spark.kernels import api
 
 
+def _run_kernel(pdf):
+    """The kernel is arrow-typed now (applyInArrow): table in, table out."""
+    import pyarrow as pa
+
+    return make_encode_kernel()(pa.Table.from_pandas(pdf)).to_pandas()
+
+
 def _encode_tiny():
     pdf = codegen.generate(2_000).copy()
     pdf["part_id"] = 0
-    return make_encode_kernel()(pdf)
+    return _run_kernel(pdf)
 
 
 def test_codec_choices_golden():
@@ -49,7 +56,7 @@ def test_blocks_byte_deterministic():
 def test_decode_matches_sorted_input():
     pdf = codegen.generate(2_000).copy()
     pdf["part_id"] = 0
-    out = make_encode_kernel()(pdf)
+    out = _run_kernel(pdf)
     ordered = pdf.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
     for _, row in out.iterrows():
         col = row["column"]
