@@ -1011,16 +1011,49 @@ def _decode_fragments(
     return out, tails, tail_counts
 
 
+def _version_select(
+    out: pd.DataFrame,
+    key_cols: tuple[str, ...],
+    latest_only: bool,
+    at_version: int | None,
+) -> pd.DataFrame:
+    """Version pruning: keep each key's head (latest_only) or its
+    version index ``at_version`` (0-based).  Fragment replay order IS
+    version order per key, so a stable comparison sort on the key
+    (NUL-safe, unlike hash tables) gives group-contiguous versions."""
+    if len(out) == 0:
+        return out
+    keys = _key_series(out, key_cols).to_numpy(dtype=object)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.concatenate(([True], sk[1:] != sk[:-1]))
+    if latest_only:
+        sel = np.concatenate((starts[1:], [True]))  # last row of each key
+    else:
+        run_starts = np.flatnonzero(starts)
+        run_lens = np.diff(np.concatenate((run_starts, [len(sk)])))
+        pos = np.arange(len(sk)) - np.repeat(run_starts, run_lens)
+        sel = pos == int(at_version)
+    return out.iloc[order[sel]]
+
+
 def make_decode_kernel(
     spec: list[tuple[str, str]],
     key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
     content_col: str | None = DEFAULT_CONTENT_COL,
     out_names: list[str] | None = None,
+    latest_only: bool = False,
+    at_version: int | None = None,
 ):
     names = out_names if out_names is not None else [n for n, _ in spec]
 
     def decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         out, _tails, _counts = _decode_fragments(pdf, spec, key_cols, content_col)
+        out = out.reset_index(drop=True)
+        if latest_only or at_version is not None:
+            # chains still replay fully (keyframe-bounded), but only the
+            # requested version per key crosses the Python->JVM boundary
+            out = _version_select(out, key_cols, latest_only, at_version)
         return out.reset_index(drop=True)[names]
 
     return decode_partition
@@ -1048,6 +1081,8 @@ def decode(
     with_part_id: bool = False,
     columns: list[str] | None = None,
     parts: list[int] | None = None,
+    latest_only: bool = False,
+    at_version: int | None = None,
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
 
@@ -1057,16 +1092,29 @@ def decode(
     internally — chain seeding needs group identity — but only the
     requested columns are returned).  parts prunes whole partitions via
     the manifest, the partition-pruning analog.
+
+    Version pruning (reference ``to_full_snapshots`` prefix semantics /
+    the materialized head, snapshot/delta.rs:81-95,137-151):
+    latest_only=True emits ONE row per (key...) — the chain head, the
+    common "fetch current corpus" read; at_version=k emits each key's
+    k-th version (0-based) where it exists.  Chains replay internally
+    (decode depth stays keyframe-bounded) but only the requested
+    version per key leaves the worker.
     """
+    if latest_only and at_version is not None:
+        raise ValueError("latest_only and at_version are mutually exclusive")
+    if at_version is not None and at_version < 0:
+        raise ValueError("at_version must be >= 0")
     info = read_table_spec(spark, out_dir)
     spec = info["spec"]
+    version_prune = latest_only or at_version is not None
     if columns is not None:
         unknown = set(columns) - {n for n, _ in spec}
         if unknown:
             raise ValueError(f"unknown columns {sorted(unknown)}")
         internal = set(columns)
-        if info["content_col"] in internal:
-            internal |= set(info["key_cols"])  # chain seeds need group keys
+        if info["content_col"] in internal or version_prune:
+            internal |= set(info["key_cols"])  # chain seeds / version ids
         decode_spec = [(n, d) for n, d in spec if n in internal]
         out_spec = [(n, d) for n, d in spec if n in set(columns)]
     else:
@@ -1076,6 +1124,7 @@ def decode(
     kernel = make_decode_kernel(
         decode_spec, info["key_cols"], content,
         out_names=[n for n, _ in out_spec],
+        latest_only=latest_only, at_version=at_version,
     )
     blocks = _active_blocks(spark, out_dir)
     if columns is not None:
