@@ -121,9 +121,17 @@ def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) 
     bounded by the (already banded) candidate list, never all pairs.
     jaccard is returned as an integer permille for cross-engine
     value-hash exactness.
+
+    Scale note: grams hash to 60-bit ints (md5 prefix) BEFORE the
+    distinct and the intersection join, so the two shuffles carry 8
+    bytes per gram instead of the raw 16-char shingle (~2x less
+    shuffle weight); md5 rather than xxhash64 keeps the DuckDB oracle
+    value-exact (both engines apply the identical hash, so counts
+    agree even in the astronomically-unlikely collision case).
     """
     pairs = lsh_candidate_pairs(docs, bands)
-    grams = char_shingles(docs, width).distinct()
+    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    grams = char_shingles(docs, width).select("doc_id", gram_hash.alias("g")).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")

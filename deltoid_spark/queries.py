@@ -361,10 +361,13 @@ SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 
 
 def _q26_oracle() -> str:
-    """Exact shingle-Jaccard for every LSH candidate pair."""
+    """Exact shingle-Jaccard for every LSH candidate pair (grams hashed
+    to 60-bit md5-prefix ints before distinct/join, mirroring the Spark
+    side's shuffle-weight cut)."""
     return f"""
 {_lsh_pair_ctes()},
-gs AS (SELECT DISTINCT doc_id, g FROM g),
+gs AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS g FROM g),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
@@ -567,7 +570,36 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 def _q23_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(spark, n=64)
     feats = multimodal.extract_features(media, decode_stub=True)
-    return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim")).orderBy("media_id")
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").cast("long").alias("dim")
+    ).orderBy("media_id")
+
+
+def _q23_oracle(n: int = 64) -> str:
+    """Analytic recompute: the synthesized payloads' container sizes are
+    closed-form in the media index (BMP = 54 + h*(3w+pad), WAV = 44 +
+    2*samples, MJPB = 8 + frames*(4+bmp)), so DuckDB derives the same
+    rows from generate_series — a true value oracle for the mapInPandas
+    decode+feature kernel, not a stored golden."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, i % 3 AS r,
+         16 + i % 16 AS w, 12 + i % 8 AS h,
+         2000 + (i % 7) * 100 AS n_samp,
+         2 + i % 3 AS n_frames
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+s AS (
+  SELECT media_id, r, n_samp, n_frames,
+         54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS bmp_bytes
+  FROM m)
+SELECT media_id,
+       CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE r WHEN 0 THEN bmp_bytes
+                   WHEN 1 THEN 44 + 2 * n_samp
+                   ELSE 8 + n_frames * (4 + bmp_bytes) END AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS dim
+FROM s ORDER BY media_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -601,12 +633,12 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q16_embedding_stats": (_q16_spark, _Q16_ORACLE),
     "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
     "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
+    "q23_media_features": (_q23_media_features, _q23_oracle()),
 }
 
 _SPARK_ONLY: dict[str, Callable] = {
     "q21_encode_metrics": _q21_encode_metrics,
     "q22_roundtrip_parity": _q22_roundtrip_parity,
-    "q23_media_features": _q23_media_features,
 }
 
 
