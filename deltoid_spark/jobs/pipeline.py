@@ -688,9 +688,26 @@ def _write_blocks(blocks: DataFrame, blocks_path: str) -> None:
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one data file.
+
+    Driver-side Hadoop FS metadata walk (works for any scheme the
+    session can read) — the round-2 version ran a ``limit(1).collect()``
+    Spark ACTION per call, several times per job.  Marker files
+    (_SUCCESS etc.) don't count: a directory holding only those is not
+    readable as parquet, matching the old semantics.
+    """
     try:
-        spark.read.parquet(path).limit(1).collect()
-        return True
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith(("_", ".")):
+                return True
+        return False
     except Exception:
         return False
 
