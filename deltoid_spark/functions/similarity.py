@@ -130,6 +130,95 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantizer -> inverted lists -> probe.
+
+    The classic scale path alongside LSH: every vector is assigned to
+    its nearest of ``n_lists`` centroids (the inverted-list id); a
+    query scans only the ``nprobe`` lists whose centroids are nearest
+    to it — ``~ nprobe / n_lists`` of the table, exact cosine inside.
+
+    Centroids here are training-free (the ``n_lists`` lowest vec_ids),
+    which keeps the operator fully deterministic and oracle-checkable;
+    on a real deployment the centroid table is swapped for k-means
+    output and the list structure, assignment plan, and probe path are
+    identical.  Scale shape: centroids are tiny and collected to the
+    driver, so LIST ASSIGNMENT IS A ZERO-SHUFFLE MAP (an argmax over
+    n_lists literal dot products inside one projection — at 100 TB
+    you'd persist it as an index column once); the probe is a filter +
+    TakeOrdered, no exchange of the big side.  All folds are
+    sequential so the DuckDB oracle reproduces every double bit-for-bit
+    (same trick as the LSH planes).
+    """
+    cents = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .collect()
+    ]
+    qv = list(
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = na = nb = 0.0  # same sequential fold order as the SQL sides
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (na**0.5 * nb**0.5)
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            ((cid, cos_py(cv, qv)) for cid, cv in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+
+    def cos_to_const(vec: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in vec])
+        return cosine(F.col("embedding").cast("array<double>"), carr)
+
+    # argmax over the centroid cosines via lexicographic struct greatest
+    # (cos desc, then smaller cid) — one projection, zero shuffles
+    list_id = F.greatest(
+        *[
+            F.struct(
+                cos_to_const(cv).alias("c"),
+                F.lit(-cid).alias("n"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )["cid"]
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.withColumn("list_id", list_id)
+        .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding").cast("array<double>"), qarr), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec_id: int,

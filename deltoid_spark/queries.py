@@ -480,6 +480,53 @@ def _q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10)
 
 
+def _q29_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10, n_lists=8, nprobe=2
+    )
+
+
+def _cos_fold_sql(a: str, b: str) -> str:
+    """Sequential cosine fold (DuckDB) matching Spark's aggregate():
+    identical addition order -> bit-identical doubles (q20 trick)."""
+
+    def ssum(expr: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"j -> {expr}), (x, y) -> x + y)"
+        )
+
+    return (
+        f"({ssum(f'{a}[j] * {b}[j]')} / "
+        f"(sqrt({ssum(f'{a}[j] * {a}[j]')}) * sqrt({ssum(f'{b}[j] * {b}[j]')})))"
+    )
+
+
+def _q29_oracle(qid: int = 1, k: int = 10, n_lists: int = 8, nprobe: int = 2) -> str:
+    """IVF in SQL: same centroids (lowest vec_ids), same argmax
+    tie-break (cos desc, cid asc), same sequential folds."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_lists}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid, {_cos_fold_sql('e.v', 'c.cv')} AS cs
+  FROM e, c),
+assign AS (
+  SELECT vec_id, v, cid AS list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+probes AS (
+  SELECT cid FROM c, q ORDER BY {_cos_fold_sql('c.cv', 'q.qv')} DESC, cid LIMIT {nprobe})
+SELECT a.vec_id, ROUND({_cos_fold_sql('a.v', 'q.qv')}, 4) AS cos_sim
+FROM assign a, q
+WHERE a.list_id IN (SELECT cid FROM probes) AND a.vec_id <> {qid}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {k}
+"""
+
+
 def _bucket_sql(n_planes: int = 6, seed: int = 42) -> str:
     """DuckDB expression for the sign-LSH bucket of DOUBLE[] column v.
 
@@ -634,6 +681,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
     "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
     "q23_media_features": (_q23_media_features, _q23_oracle()),
+    "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
 }
 
 _SPARK_ONLY: dict[str, Callable] = {

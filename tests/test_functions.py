@@ -174,3 +174,22 @@ def test_lsh_multi_probe_improves_recall(spark):
     single, multi = recall(False), recall(True)
     assert multi >= single
     assert multi >= 0.3  # hamming-1 probing finds a real share of true neighbors
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe == n_lists (probe everything) IVF degenerates to the
+    exact scan, so it must reproduce brute-force top-k exactly; with
+    nprobe < n_lists it returns a subset-quality result from a fraction
+    of the table (the scale path)."""
+    from deltoid_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = similarity.brute_force_topk(emb, query_vec_id=1, k=10).collect()
+    full = similarity.ivf_topk(emb, query_vec_id=1, k=10, n_lists=8, nprobe=8).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in bf]
+
+    probed = similarity.ivf_topk(emb, query_vec_id=1, k=10, n_lists=8, nprobe=2).collect()
+    assert len(probed) == 10
+    # recall sanity: the probed search keeps most of the true top-k
+    hits = {r["vec_id"] for r in probed} & {r["vec_id"] for r in bf}
+    assert len(hits) >= 5, sorted(hits)
