@@ -130,6 +130,43 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_assignments(emb: DataFrame, n_lists: int = 8) -> DataFrame:
+    """The IVF index build: (vec_id, list_id) via the same zero-shuffle
+    argmax ivf_topk uses — persist this once and join queries onto it
+    instead of recomputing the quantizer per query at scale."""
+    cents = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in emb.orderBy("vec_id")
+        .limit(n_lists)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .collect()
+    ]
+    return emb.select("vec_id", _list_id_expr(cents).alias("list_id"))
+
+
+def _list_id_expr(cents: list[tuple[int, list[float]]]) -> Column:
+    """argmax over literal-broadcast centroid cosines (cos desc, cid
+    asc tie-break) via lexicographic struct greatest — one projection."""
+
+    def cos_to_const(vec: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in vec])
+        return cosine(F.col("embedding").cast("array<double>"), carr)
+
+    return F.greatest(
+        *[
+            F.struct(
+                cos_to_const(cv).alias("c"),
+                F.lit(-cid).alias("n"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )["cid"]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -188,25 +225,9 @@ def ivf_topk(
         )[:nprobe]
     ]
 
-    def cos_to_const(vec: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(x)) for x in vec])
-        return cosine(F.col("embedding").cast("array<double>"), carr)
-
-    # argmax over the centroid cosines via lexicographic struct greatest
-    # (cos desc, then smaller cid) — one projection, zero shuffles
-    list_id = F.greatest(
-        *[
-            F.struct(
-                cos_to_const(cv).alias("c"),
-                F.lit(-cid).alias("n"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in cents
-        ]
-    )["cid"]
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        emb.withColumn("list_id", list_id)
+        emb.withColumn("list_id", _list_id_expr(cents))
         .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",

@@ -1100,8 +1100,14 @@ def decode(
     parts: list[int] | None = None,
     latest_only: bool = False,
     at_version: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
+
+    strict=True raises if any active partition is in the failed state
+    instead of silently decoding the committed subset — the read-side
+    counterpart of the error-isolation taxonomy (callers that need the
+    WHOLE table opt in; audits/partial readers keep the default).
 
     columns prunes at the BLOCK level: un-requested columns' payloads
     are filtered out before they reach the Python worker, and their
@@ -1122,6 +1128,21 @@ def decode(
         raise ValueError("latest_only and at_version are mutually exclusive")
     if at_version is not None and at_version < 0:
         raise ValueError("at_version must be >= 0")
+    if strict:
+        failed = (
+            _manifest_active(spark, os.path.join(out_dir, "manifest"))
+            .filter(F.col("status") == "failed")
+            .select("part_id", "error")
+            .limit(20)
+            .collect()
+        )
+        if failed:
+            raise ValueError(
+                f"decode(strict=True): partitions "
+                f"{sorted({r['part_id'] for r in failed})} have failed "
+                f"encodes (first error: {failed[0]['error']!r}); re-run "
+                "encode() to heal them or decode without strict"
+            )
     info = read_table_spec(spark, out_dir)
     spec = info["spec"]
     version_prune = latest_only or at_version is not None

@@ -147,3 +147,17 @@ def test_append_retry_with_batch_id_is_idempotent(spark, tmp_path_factory):
     m3 = encode_append(spark, spark.createDataFrame(b), out, batch_id="B1")
     assert decode(spark, out).count() == len(pdf)
     assert m3.count() == m2.count()
+
+
+def test_decode_strict_raises_on_failed_partitions(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("strictdec"))
+    pdf = codegen.generate(2_000)
+    df = spark.createDataFrame(pdf)
+    encode(spark, df, out, target_rows=500, _fail_inject="org0/repo0")
+    with pytest.raises(ValueError, match="failed encodes"):
+        decode(spark, out, strict=True).count()
+    # non-strict decodes the committed subset as before
+    assert 0 < decode(spark, out).count() < len(pdf)
+    # heal, then strict decode succeeds with full parity
+    encode(spark, df, out, target_rows=500)
+    assert verify(spark, df, decode(spark, out, strict=True))["ok"]
