@@ -120,6 +120,26 @@ def chain_head_stream(stream: DataFrame):
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    fingerprint_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest: md5 fingerprint +
+    ``dropDuplicatesWithinWatermark`` — the training-data "emit each
+    document once" operator with state BOUNDED by the watermark (plain
+    dropDuplicates on an unbounded stream grows state forever; the
+    within-watermark variant evicts fingerprints once no on-time
+    duplicate can still arrive).  Works identically on a static frame
+    (falls back to dropDuplicates semantics for testing parity).
+    """
+    fp = docs.withColumn("fp", F.md5(F.col(fingerprint_col)))
+    if not docs.isStreaming:
+        return fp.dropDuplicates(["fp"])
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

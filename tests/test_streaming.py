@@ -147,3 +147,44 @@ def test_chain_head_state_survives_across_drains(spark, tmp_path_factory):
         assert head == want["mx"]
         checked += 1
     assert checked > 10
+
+
+def test_dedup_stream_emits_each_fingerprint_once(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark on the md5 fingerprint: duplicated
+    docs across micro-batch files surface exactly once in the sink."""
+    import datetime
+
+    import pandas as pd
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((i, f"doc body {i % 60}", base + datetime.timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.iloc[:100].to_parquet(os.path.join(src, "b0.parquet"), index=False)
+    pdf.iloc[100:].to_parquet(os.path.join(src, "b1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp_ntz")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TIMESTAMP
+    )
+    out = streaming.dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT fp, count(*) AS n FROM dedup_sink GROUP BY fp").collect()
+    assert len(got) == 60  # 60 distinct texts
+    assert all(r["n"] == 1 for r in got)  # each emitted exactly once
+
+    # static parity: the same operator on a batch frame
+    static = streaming.dedup_stream(spark.createDataFrame(pdf))
+    assert static.count() == 60
