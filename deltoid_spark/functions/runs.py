@@ -95,20 +95,21 @@ def run_length_profile(
     # ONE window pass over the data tags each row with its in-bucket
     # position and whether it STARTS a run; everything after the filter
     # below is runs-sized (one row per value change), so no full-data
-    # aggregation ever runs.
+    # aggregation ever runs.  Bucket sizes come from a separate
+    # map-side-combined aggregate joined onto the RUNS-SIZED frame — an
+    # unbounded-following COUNT frame in the window would force the
+    # WindowExec to buffer (and potentially spill) every full bucket.
     rows = b.select(
         "bucket",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("bsize"),
         (
             (F.row_number().over(w) == 1)
             | ~F.lag("value").over(w).eqNullSafe(F.col("value"))
         ).alias("starts"),
     )
-    starts = rows.filter("starts")
+    bsizes = b.groupBy("bucket").agg(F.count("*").alias("bsize"))
+    starts = rows.filter("starts").join(bsizes, "bucket")
     ws = Window.partitionBy("bucket").orderBy("rn")
     segs = (
         starts.select(
