@@ -176,13 +176,25 @@ _PA_NULLABLE_INTS = {
 }
 
 
-def _table_to_pdf(tbl: pa.Table, spec: list[tuple[str, str]]) -> pd.DataFrame:
+def _table_to_pdf(
+    tbl: pa.Table, spec: list[tuple[str, str]], arrow_cols: tuple[str, ...] = ()
+) -> tuple[pd.DataFrame, dict[str, pa.Array]]:
+    """(pandas frame, still-Arrow columns).  Columns named in
+    ``arrow_cols`` never become pandas at all — the content column's
+    python-string materialization was the single largest encode cost
+    (measured ~32 s for the 2 GB fixture at 1 core in round 2)."""
     ddls = dict(spec)
     cols: dict[str, pd.Series] = {}
+    arrows: dict[str, pa.Array] = {}
     for name in tbl.schema.names:
         col = tbl.column(name)
         ddl = ddls.get(name, "")
-        if ddl.startswith(("struct<", "array<", "map<")):
+        if name in arrow_cols:
+            one = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            # Spark ships strings as utf8 (int32 offsets); the buffer
+            # views/kernels expect large_utf8 — cast once (data shared)
+            arrows[name] = one if one.type == pa.large_utf8() else one.cast(pa.large_utf8())
+        elif ddl.startswith(("struct<", "array<", "map<")):
             # exact python objects (ints stay ints); the nested/strlist/
             # mapdelta kernels re-enter Arrow from these without loss
             cols[name] = pd.Series(col.to_pylist(), dtype=object)
@@ -193,7 +205,16 @@ def _table_to_pdf(tbl: pa.Table, spec: list[tuple[str, str]]) -> pd.DataFrame:
             cols[name] = s
         else:
             cols[name] = col.to_pandas(types_mapper=_PA_NULLABLE_INTS.get)
-    return pd.DataFrame(cols)
+    return pd.DataFrame(cols), arrows
+
+
+def _arrow_content_col(
+    spec: list[tuple[str, str]], content_col: str | None
+) -> tuple[str, ...]:
+    """content stays Arrow iff it is a plain string column."""
+    if content_col is not None and dict(spec).get(content_col) == "string":
+        return (content_col,)
+    return ()
 
 
 def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
@@ -223,7 +244,7 @@ def _group_starts(gsizes: np.ndarray) -> np.ndarray:
 
 
 def _encode_content(
-    s: pd.Series,
+    s,
     gsizes: np.ndarray,
     keyframe_interval: int,
     level,
@@ -231,8 +252,9 @@ def _encode_content(
     base_versions: np.ndarray | None = None,
     view: tuple | None = None,
 ) -> tuple[str, bytes]:
-    """CHAIN-encode the content column; fall back to whole-column PLAIN
-    only when a cheap zstd bound says PLAIN could plausibly win.
+    """CHAIN-encode the content column (pandas Series or Arrow array);
+    fall back to whole-column PLAIN only when a cheap zstd bound says
+    PLAIN could plausibly win.
 
     The full PLAIN trial used to run unconditionally — an honest but
     ~2x CPU cost on the dominant column.  The gate compresses a
@@ -240,6 +262,7 @@ def _encode_content(
     cross-version redundancy) and extrapolates; the full trial runs
     only when the bound lands within 30% of CHAIN's actual size.
     """
+    is_arrow = isinstance(s, pa.Array)
     buf = chain_kernel.encode_chain(
         s, gsizes, keyframe_interval=keyframe_interval, level=level,
         base_texts=base_texts, base_versions=base_versions,
@@ -248,14 +271,18 @@ def _encode_content(
         # a seeded fragment must stay CHAIN: whole-column PLAIN can't
         # continue chains and seeded deltas are near-minimal anyway
         return "chain", buf
-    lengths, data = view if view is not None else strings.utf8_view(s)
+    if view is None:
+        view = strings.arrow_utf8_view(s) if is_arrow else strings.utf8_view(s)
+    lengths, data = view
     sample = data[: max(4096, len(data) // 8)]
     if sample:
         est_plain = len(blocks_mod.compress(sample, level)) / len(sample) * len(data)
     else:
         est_plain = 0.0
     if est_plain < len(buf) * 1.3:
-        plain_buf = api.encode_block(s, "plain")
+        plain_buf = (
+            strings.encode_plain_arrow(s) if is_arrow else api.encode_block(s, "plain")
+        )
         if len(plain_buf) < len(buf):
             return "plain", plain_buf
     return "chain", buf
@@ -274,12 +301,16 @@ def _encode_rows(
     t0: float,
     tails: dict | None = None,
     tail_counts: dict | None = None,
+    content_arr: pa.Array | None = None,
 ) -> list[tuple]:
     """Encode one sorted slice of rows into per-column block rows.
 
     tails / tail_counts (from decoded prior fragments) seed chain groups
     that continue an existing (key...) chain — the incremental
-    ``push_snapshot`` path (delta.rs:108-125)."""
+    ``push_snapshot`` path (delta.rs:108-125).  content_arr, when given,
+    is the (already sort-permuted) Arrow form of the content column —
+    it never existed as pandas, so the dominant column skips both
+    python-string materialization boundaries."""
     out = []
     keys = _key_series(pdf, key_cols)
     gsizes = _group_sizes(keys)
@@ -294,6 +325,24 @@ def _encode_rows(
             dtype=np.int64,
         )
     for col, ddl in spec:
+        if col == content_col and content_arr is not None:
+            view = strings.arrow_utf8_view(content_arr)
+            raw = int(view[0].sum())
+            if len(gsizes) < len(content_arr) or tails:
+                codec, buf = _encode_content(
+                    content_arr, gsizes, keyframe_interval, level,
+                    base_texts, base_versions, view,
+                )
+            else:  # no multi-version chains: plain selector path
+                codec, _stats, buf = selector.select_and_encode(
+                    content_arr.to_pandas().astype(object)
+                )
+            out.append(
+                (part_id, frag_id, col, codec, buf, len(content_arr), raw,
+                 len(buf), api.sha256_column_arrow(content_arr, view),
+                 time.time() - t0, run_id)
+            )
+            continue
         s = pdf[col]
         if ddl == "string":
             # one Arrow-buffer pass shared by raw-size, the PLAIN-gate
@@ -356,15 +405,21 @@ def make_encode_kernel(
 
     def encode_partition(tbl: pa.Table) -> pa.Table:
         t0 = time.time()
-        pdf = _table_to_pdf(tbl, spec)
+        pdf, arrows = _table_to_pdf(tbl, spec, _arrow_content_col(spec, content_col))
         part_id = int(pdf["part_id"].iloc[0])
         try:
             if fail_inject is not None and (pdf[key_cols[0]] == fail_inject).any():
                 raise RuntimeError(f"injected failure for {fail_inject!r}")
-            pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            content_arr = None
+            if arrows:
+                perm = pa.array(pdf.index.to_numpy(dtype=np.int64))
+                content_arr = arrows[content_col].take(perm)
+            pdf = pdf.reset_index(drop=True)
             rows = _encode_rows(
                 pdf, part_id, 0, spec, key_cols, content_col,
                 keyframe_interval, level, run_id, t0,
+                content_arr=content_arr,
             )
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             rows = [_error_row(part_id, 0, len(pdf), exc, run_id, t0)]
@@ -403,20 +458,33 @@ def make_fragment_kernel(
         if not tables:
             return
         t0 = time.time()
-        pdf = _table_to_pdf(pa.Table.from_batches(tables), spec)
-        pdf = pdf.sort_values(
-            ["part_id", *sort_cols], kind="mergesort"
-        ).reset_index(drop=True)
+        pdf, arrows = _table_to_pdf(
+            pa.Table.from_batches(tables), spec, _arrow_content_col(spec, content_col)
+        )
+        pdf = pdf.sort_values(["part_id", *sort_cols], kind="mergesort")
+        content_sorted = None
+        if arrows:
+            content_sorted = arrows[content_col].take(
+                pa.array(pdf.index.to_numpy(dtype=np.int64))
+            )
+        pdf = pdf.reset_index(drop=True)
         rows: list[tuple] = []
         for part_id, sub in pdf.groupby("part_id", sort=True):
+            pos = sub.index.to_numpy(dtype=np.int64)
             sub = sub.reset_index(drop=True)
             try:
                 if fail_inject is not None and (sub[key_cols[0]] == fail_inject).any():
                     raise RuntimeError(f"injected failure for {fail_inject!r}")
+                carr = (
+                    content_sorted.take(pa.array(pos))
+                    if content_sorted is not None
+                    else None
+                )
                 rows.extend(
                     _encode_rows(
                         sub, int(part_id), frag_id, spec, key_cols,
                         content_col, keyframe_interval, level, run_id, t0,
+                        content_arr=carr,
                     )
                 )
             except Exception as exc:  # noqa: BLE001
@@ -784,7 +852,7 @@ def make_append_kernel(
         t0 = time.time()
         if left_t.num_rows == 0:
             return _block_arrow_schema().empty_table()
-        left = _table_to_pdf(left_t, spec)
+        left, arrows = _table_to_pdf(left_t, spec, _arrow_content_col(spec, content_col))
         right = right_t.to_pandas()  # block rows: binary payloads, exact
         part_id = int(left["part_id"].iloc[0])
         frag_id = int(right["frag_id"].max()) + 1 if len(right) else 0
@@ -794,11 +862,18 @@ def make_append_kernel(
             _rows, tails, tail_counts = _decode_fragments(
                 right, spec, key_cols, content_col
             )
-            pdf = left.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            pdf = left.sort_values(sort_cols, kind="mergesort")
+            content_arr = None
+            if arrows:
+                content_arr = arrows[content_col].take(
+                    pa.array(pdf.index.to_numpy(dtype=np.int64))
+                )
+            pdf = pdf.reset_index(drop=True)
             rows = _encode_rows(
                 pdf, part_id, frag_id, spec, key_cols, content_col,
                 keyframe_interval, level, run_id, t0,
                 tails=tails, tail_counts=tail_counts,
+                content_arr=content_arr,
             )
         except Exception as exc:  # noqa: BLE001
             rows = [_error_row(part_id, frag_id, len(left), exc, run_id, t0)]

@@ -72,6 +72,24 @@ def block_codec(buf: bytes) -> str:
     return codec
 
 
+def sha256_column_arrow(arr, view: tuple | None = None) -> str:
+    """sha256_column straight off a LargeStringArray (same digest bytes:
+    identical mask/lengths/data streams, no python strings)."""
+    import pyarrow.compute as pc
+
+    mask = (
+        pc.is_null(arr).to_numpy(zero_copy_only=False)
+        if arr.null_count
+        else np.zeros(len(arr), dtype=bool)
+    )
+    lengths, data = view if view is not None else strings.arrow_utf8_view(arr)
+    h = hashlib.sha256()
+    h.update(mask.astype(np.uint8).tobytes())
+    h.update(lengths.astype("<i8").tobytes())
+    h.update(data)
+    return h.hexdigest()
+
+
 def sha256_column(series: pd.Series, view: tuple | None = None) -> str:
     """Order-sensitive digest of a string column (null-aware).
 

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from . import blocks
 from .intcodec import pack_ints, pack_ints_z, unpack_ints, unpack_ints_z
-from .strings import decode_plain, encode_plain
+from .strings import decode_plain, encode_plain_arrow
 
 DEFAULT_KEYFRAME_INTERVAL = 32
 
@@ -121,27 +121,43 @@ def encode_chain(
     same bounded decode depth.  The decoder must be handed the same
     base texts (the previous fragment's tails) — meta records which
     groups are seeded.
+
+    Accepts either a pandas Series or a pyarrow string array; the whole
+    kernel is Arrow-native (round 3): lines are dictionary-encoded ONCE
+    and every per-version comparison runs on int codes (exact: Arrow's
+    hashing is byte-aware), keyframe texts and delta lines leave via
+    Arrow takes into encode_plain_arrow — the content column never
+    materializes as Python strings.
     """
-    n = len(contents)
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    if isinstance(contents, pa.Array):
+        arr = contents if contents.type == pa.large_utf8() else contents.cast(pa.large_utf8())
+    else:
+        arr = pa.Array.from_pandas(contents, type=pa.large_utf8())
+    n = len(arr)
     assert int(np.sum(group_sizes)) == n, "group sizes must cover all rows"
-    vals = contents.to_numpy(dtype=object)
-    is_null = pd.isna(vals)
-    # ONE Arrow pass splits every version into lines (round-2 profile:
-    # per-version ``np.array(text.split("\n"))`` was the largest single
-    # CPU sink of the encode wall).  Version i's lines are then a
-    # zero-copy slice flat[loffs[i]:loffs[i+1]] of one object array.
+    is_null = (
+        pc.is_null(arr).to_numpy(zero_copy_only=False) if n else np.zeros(0, dtype=bool)
+    )
+    # ONE Arrow pass splits every version into lines, ONE dictionary
+    # encode maps every line to an int code; version i's lines are then
+    # the int slice codes[loffs[i]:loffs[i+1]] and all elementwise
+    # line comparisons are C integer compares
     if n:
-        la = pc.split_pattern(
-            pa.Array.from_pandas(contents, type=pa.large_utf8()), pattern="\n"
-        )
-        flat = la.values.to_numpy(zero_copy_only=False)
+        la = pc.split_pattern(arr, pattern="\n")
+        ld = pc.dictionary_encode(la.values)
+        codes = ld.indices.to_numpy().astype(np.int64)
+        line_dict = ld.dictionary
         loffs = la.offsets.to_numpy().astype(np.int64)
-        # per-line char counts + prefix sums: every script-cost term in
-        # the loop becomes O(1) lookups instead of sum(map(len, lines))
-        line_lens = pc.utf8_length(la.values).to_numpy().astype(np.int64)
+        # per-line char counts via the (small) dictionary + prefix sums:
+        # every script-cost term in the loop is O(1) lookups
+        dlens = pc.utf8_length(line_dict).to_numpy(zero_copy_only=False).astype(np.int64)
+        line_lens = dlens[codes] if len(codes) else np.zeros(0, dtype=np.int64)
         clen = np.concatenate(([0], np.cumsum(line_lens)))
     else:
-        flat = np.zeros(0, dtype=object)
+        codes = np.zeros(0, dtype=np.int64)
+        line_dict = pa.array([], type=pa.large_utf8())
         loffs = np.zeros(1, dtype=np.int64)
         line_lens = np.zeros(0, dtype=np.int64)
         clen = np.zeros(1, dtype=np.int64)
@@ -152,8 +168,29 @@ def encode_chain(
         base_versions = np.zeros(n_groups, dtype=np.int64)
     seeded = np.array([t is not None for t in base_texts], dtype=bool)
 
+    unseen: dict[str, int] = {}
+
+    def _seed_codes(text: str) -> np.ndarray:
+        """Map a seed text's lines into code space: dictionary hits get
+        their code, lines outside the dictionary get stable negative
+        ids (equal seed lines share one id; never equal to any code)."""
+        lines = text.split("\n")
+        hits = pc.index_in(
+            pa.array(lines, type=pa.large_utf8()), value_set=line_dict
+        ).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (hits < 0).any():
+            hits = hits.copy()
+            for j, ln in enumerate(lines):
+                if hits[j] < 0:
+                    code = unseen.get(ln)
+                    if code is None:
+                        code = -(len(unseen) + 1)
+                        unseen[ln] = code
+                    hits[j] = code
+        return hits
+
     is_key = np.zeros(n, dtype=bool)
-    key_texts: list[str] = []
+    key_idx: list[int] = []
     # per delta row: cnt1/cnt2/cnt3 are (edit_count, add_count,
     # remove_count) for positional scripts, (ins_count, start, del_count)
     # for splice scripts; splice_flags picks the interpretation
@@ -167,9 +204,7 @@ def encode_chain(
     row = 0
     for g, gsize in enumerate(group_sizes):
         if seeded[g]:
-            prev_arr: np.ndarray | None = np.array(
-                base_texts[g].split("\n"), dtype=object
-            )
+            prev_arr: np.ndarray | None = _seed_codes(base_texts[g])
             prev_null = False
         else:
             prev_arr = None
@@ -178,15 +213,14 @@ def encode_chain(
         for v in range(int(gsize)):
             i = row + v
             cur_null = bool(is_null[i])
-            text = None if cur_null else vals[i]
             force_key = (
                 (v0 + v) % keyframe_interval == 0 or cur_null or prev_null
             )
             if not force_key:
-                # zero-copy lines slice; one prefix comparison shared by
-                # both candidate scripts
+                # zero-copy int-code slice; one prefix comparison shared
+                # by both candidate scripts
                 lo, hi = loffs[i], loffs[i + 1]
-                new_arr = flat[lo:hi]
+                new_arr = codes[lo:hi]
                 eidx, elines, adds, rem, sp, sdel, sins = _version_deltas(
                     prev_arr, new_arr
                 )
@@ -221,8 +255,8 @@ def encode_chain(
             if force_key:
                 is_key[i] = True
                 if not cur_null:
-                    key_texts.append(text)
-                    prev_arr = flat[loffs[i] : loffs[i + 1]]
+                    key_idx.append(i)
+                    prev_arr = codes[loffs[i] : loffs[i + 1]]
                 else:
                     prev_arr = None
             prev_null = cur_null
@@ -233,7 +267,11 @@ def encode_chain(
     key_bits = blocks.pack_mask(is_key)
     null_bits = blocks.pack_mask(is_null)
     splice_bits = blocks.pack_mask(np.array(splice_flags, dtype=bool))
-    keys_block = encode_plain(pd.Series(key_texts, dtype=object), level)
+    # keyframe texts and delta lines leave as Arrow takes (C gathers),
+    # never as Python strings
+    keys_block = encode_plain_arrow(
+        arr.take(pa.array(np.array(key_idx, dtype=np.int64))), level
+    )
     emeta, epay = pack_ints(np.array(edit_counts, dtype=np.int64))
     ameta, apay = pack_ints(np.array(add_counts, dtype=np.int64))
     rmeta, rpay = pack_ints(np.array(remove_counts, dtype=np.int64))
@@ -241,10 +279,12 @@ def encode_chain(
         np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64)
     )
     imeta, ipay = pack_ints_z(flat_idx)
-    flat_lines = (
-        np.concatenate(delta_lines) if delta_lines else np.zeros(0, dtype=object)
+    flat_line_codes = (
+        np.concatenate(delta_lines) if delta_lines else np.zeros(0, dtype=np.int64)
     )
-    lines_block = encode_plain(pd.Series(flat_lines, dtype=object), level)
+    lines_block = encode_plain_arrow(
+        line_dict.take(pa.array(flat_line_codes.astype(np.int64))), level
+    )
 
     meta = {
         "n": n, "k": keyframe_interval,

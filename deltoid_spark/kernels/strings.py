@@ -97,6 +97,8 @@ def encode_plain(series: pd.Series, level: int | None = None) -> bytes:
 
 def encode_plain_arrow(arr: pa.Array, level: int | None = None) -> bytes:
     """encode_plain straight off a LargeStringArray — no python strings."""
+    if arr.type != pa.large_utf8():
+        arr = arr.cast(pa.large_utf8())
     if arr.null_count:
         import pyarrow.compute as pc
 
