@@ -4,6 +4,7 @@ from .pipeline import (  # noqa: F401
     decode,
     encode,
     encode_append,
+    history,
     metrics_summary,
     vacuum,
     verify,

@@ -542,7 +542,9 @@ def read_table_spec(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
-def _manifest_active(spark: SparkSession, manifest_path: str) -> DataFrame:
+def _manifest_active(
+    spark: SparkSession, manifest_path: str, as_of_gen: int | None = None
+) -> DataFrame:
     """The manifest's active rows per part_id: the latest "replace"
     generation plus every later "append" generation (incremental batches
     extending that base).  Earlier replace rows and appends that a newer
@@ -552,8 +554,15 @@ def _manifest_active(spark: SparkSession, manifest_path: str) -> DataFrame:
     greater): a part_id whose ONLY generations are appends — new keys
     hashing into a bucket the base run left empty — has no replace row,
     and a NULL anchor would silently filter those appends out (the
-    ADVICE r02 data-loss scenario)."""
+    ADVICE r02 data-loss scenario).
+
+    as_of_gen is TIME TRAVEL: resolve the table as it stood at that
+    manifest generation (gens are commit timestamps in ns) — later
+    replaces/appends are invisible, so any historical snapshot stays
+    readable until a vacuum reclaims its blocks."""
     m = spark.read.parquet(manifest_path)
+    if as_of_gen is not None:
+        m = m.filter(F.col("gen") <= int(as_of_gen))
     w = Window.partitionBy("part_id")
     last_rep = F.coalesce(
         F.max(F.when(F.col("kind") == "replace", F.col("gen"))).over(w),
@@ -1155,16 +1164,39 @@ def make_decode_kernel(
 _decode_partition = make_decode_kernel(DEFAULT_SPEC)
 
 
-def _active_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+def _active_blocks(
+    spark: SparkSession, out_dir: str, as_of_gen: int | None = None
+) -> DataFrame:
     """Block rows belonging to active committed manifest entries, with
     the manifest generation attached (fragment replay order)."""
     blocks = _read_blocks(spark, os.path.join(out_dir, "blocks"))
     active = (
-        _manifest_active(spark, os.path.join(out_dir, "manifest"))
+        _manifest_active(spark, os.path.join(out_dir, "manifest"), as_of_gen)
         .filter(F.col("status") == "committed")
         .select("part_id", "run_id", "gen")
     )
     return blocks.join(F.broadcast(active), ["part_id", "run_id"])
+
+
+def history(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The table's commit log: one row per manifest generation (run),
+    newest last — the snapshot-history surface (reference
+    ``SnapshotCtx::history``, snapshot/mod.rs:11-29; Iceberg-style
+    table history over the append-only manifest).  ``gen`` values feed
+    ``decode(as_of_gen=...)`` time travel."""
+    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    return (
+        m.groupBy("run_id", "gen", "kind", "batch_id")
+        .agg(
+            F.count("*").alias("partitions"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+                "failed_partitions"
+            ),
+        )
+        .orderBy("gen")
+    )
 
 
 def decode(
@@ -1176,8 +1208,15 @@ def decode(
     latest_only: bool = False,
     at_version: int | None = None,
     strict: bool = False,
+    as_of_gen: int | None = None,
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
+
+    as_of_gen reads the table AS OF an earlier manifest generation
+    (time travel over the append-only commit log; see ``history()`` for
+    the generations) — later replaces/appends/compactions are
+    invisible, and any pre-vacuum snapshot remains readable because
+    superseded blocks stay on disk until vacuum reclaims them.
 
     strict=True raises if any active partition is in the failed state
     instead of silently decoding the committed subset — the read-side
@@ -1205,7 +1244,7 @@ def decode(
         raise ValueError("at_version must be >= 0")
     if strict:
         failed = (
-            _manifest_active(spark, os.path.join(out_dir, "manifest"))
+            _manifest_active(spark, os.path.join(out_dir, "manifest"), as_of_gen)
             .filter(F.col("status") == "failed")
             .select("part_id", "error")
             .limit(20)
@@ -1239,7 +1278,7 @@ def decode(
         out_names=[n for n, _ in out_spec],
         latest_only=latest_only, at_version=at_version,
     )
-    blocks = _active_blocks(spark, out_dir)
+    blocks = _active_blocks(spark, out_dir, as_of_gen)
     if columns is not None:
         wanted = [n for n, _ in decode_spec]
         blocks = blocks.filter(F.col("column").isin(wanted))

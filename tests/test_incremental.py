@@ -193,3 +193,41 @@ def test_append_after_vacuum(spark, split_batches, tmp_path_factory):
     encode_append(spark, spark.createDataFrame(b), out)
     full = spark.createDataFrame(pdf)
     assert verify(spark, full, decode(spark, out))["ok"]
+
+
+def test_time_travel_over_generations(spark, split_batches, tmp_path_factory):
+    """decode(as_of_gen=...) reads the table as of an earlier manifest
+    generation; history() exposes the commit log (Iceberg-style time
+    travel over the append-only manifest)."""
+    from deltoid_spark.jobs import history
+
+    pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("travel"))
+    encode(spark, spark.createDataFrame(a), out, target_rows=500)
+    encode_append(spark, spark.createDataFrame(b), out)
+    compact(spark, out)
+
+    hist = history(spark, out).collect()
+    kinds = [r["kind"] for r in hist]
+    assert kinds == ["replace", "append", "replace"]  # base, append, compact
+    g_base, g_append, g_compact = (r["gen"] for r in hist)
+
+    # as of the base commit: only batch a
+    base_view = decode(spark, out, as_of_gen=g_base)
+    assert base_view.count() == len(a)
+    assert verify(spark, spark.createDataFrame(a), base_view)["ok"]
+
+    # as of the append commit: the full table (pre-compaction layout)
+    full = spark.createDataFrame(pdf)
+    mid_view = decode(spark, out, as_of_gen=g_append)
+    assert verify(spark, full, mid_view)["ok"]
+
+    # latest (default) equals the compacted table
+    assert verify(spark, full, decode(spark, out))["ok"]
+
+    # vacuum reclaims superseded snapshots: history shrinks to live runs
+    from deltoid_spark.jobs import vacuum
+
+    vacuum(spark, out)
+    assert verify(spark, full, decode(spark, out))["ok"]
+    assert decode(spark, out, as_of_gen=g_base).count() == 0  # expired
