@@ -159,6 +159,67 @@ def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) 
     )
 
 
+def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph — the
+    final stage of the classic web-scale dedup pipeline (pairs tell you
+    *which* docs collide; clusters tell you *what to keep*: one
+    canonical doc per component).
+
+    Algorithm: iterative hash-min label propagation.  Every node starts
+    labelled with its own id; each round the label of every node drops
+    to the min label over itself and its neighbours.  Converges in
+    O(component diameter) rounds — near-dup clusters are dense (LSH
+    pairs approximate a clique), so diameters are tiny in practice and
+    ``max_iter`` is a safety rail, not a tuning knob.
+
+    Scale notes: each round is one shuffle join (edges x labels, both
+    hash-partitioned on the node id) plus a map-side-combinable min
+    aggregate; no driver-side data beyond one scalar per round.
+    Convergence is detected with a single sum(label) aggregate — labels
+    only ever decrease, so the sum is strictly monotone until fixpoint
+    (cheaper than a changed-rows anti-join).  ``localCheckpoint``
+    truncates the per-round lineage so the plan doesn't grow with the
+    iteration count.  For graphs with giant components (adversarial,
+    not near-dup-shaped), swap the propagation step for alternating
+    large-star/small-star (Kiveris et al.) — same join primitive,
+    O(log n) rounds.
+    """
+    pairs = lsh_candidate_pairs(docs, bands)
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.u == labels.node).select(
+            F.col("v").alias("node"), "label"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash64(text: str) -> int:
     """Pure-python reference SimHash (the unit-test oracle for simhash()).
 

@@ -392,6 +392,35 @@ def _q26_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(load(spark, sf_dir, "documents"))
 
 
+def _q30_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_clusters(load(spark, sf_dir, "documents"))
+
+
+def _q30_oracle() -> str:
+    """Connected components over the LSH pair graph via a recursive CTE:
+    enumerate every (node, reachable-node) pair by walking edges from
+    each node, then take the min reachable id as the component label —
+    the textbook transitive-closure formulation, independent of the
+    Spark side's iterative hash-min propagation."""
+    ctes = _lsh_pair_ctes().replace("WITH g AS", "WITH RECURSIVE g AS", 1)
+    return f"""
+{ctes},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS doc_id, cc.cluster_id,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size
+FROM cc JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def _q28_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
@@ -669,6 +698,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
     "q26_jaccard_verify": (_q26_jaccard_verify, _q26_oracle()),
+    "q30_dup_clusters": (_q30_dup_clusters, _q30_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
