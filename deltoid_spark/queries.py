@@ -24,7 +24,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions import dedup, multimodal, runs, similarity, text
+from .functions import dedup, multimodal, runs, similarity, temporal, text
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -421,6 +421,66 @@ ORDER BY doc_id
 """
 
 
+def _q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every click event, the latest purchase
+    by the same user at or before the click (union-tag-window as-of
+    join, functions/temporal.py)."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = temporal.asof_join(clicks, purchases, on="user_id")
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        (temporal.micros("ts") - temporal.micros("r_ts")).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+_Q31_ORACLE = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, c.user_id, p.purchase_id,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.click_id
+"""
+
+
+def _q32_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event timeline (6 h inactivity
+    splits a session), rolled up per session."""
+    return temporal.session_stats(load(spark, sf_dir, "events"), gap_s=21600)
+
+
+_Q32_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+l AS (
+  SELECT user_id, tus,
+         CASE WHEN LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (
+  SELECT user_id, tus,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM l)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(tus) AS start_us,
+       CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 def _q28_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
@@ -699,6 +759,8 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
     "q26_jaccard_verify": (_q26_jaccard_verify, _q26_oracle()),
     "q30_dup_clusters": (_q30_dup_clusters, _q30_oracle()),
+    "q31_asof_join": (_q31_asof_join, _Q31_ORACLE),
+    "q32_sessions": (_q32_sessions, _Q32_ORACLE),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

@@ -193,3 +193,86 @@ def test_ivf_full_probe_equals_brute_force(spark):
     # recall sanity: the probed search keeps most of the true top-k
     hits = {r["vec_id"] for r in probed} & {r["vec_id"] for r in bf}
     assert len(hits) >= 5, sorted(hits)
+
+
+# ------------------------- temporal operators ------------------------------
+
+from datetime import datetime as _dt  # noqa: E402
+
+from deltoid_spark.functions import dedup as _dedup, temporal  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def timeline(spark):
+    """One user with interleaved probe/ref rows covering before-any-ref,
+    exact-tie, and between-refs cases; a second user with refs only."""
+    rows = [
+        (1, 10, "probe", _dt(2024, 1, 1, 0, 0, 5)),
+        (2, 10, "ref",   _dt(2024, 1, 1, 0, 0, 10)),
+        (3, 10, "probe", _dt(2024, 1, 1, 0, 0, 10)),  # tie with ref 2
+        (4, 10, "probe", _dt(2024, 1, 1, 0, 0, 30)),
+        (5, 10, "ref",   _dt(2024, 1, 1, 0, 1, 0)),
+        (6, 10, "probe", _dt(2024, 1, 1, 0, 2, 0)),
+        (7, 20, "ref",   _dt(2024, 1, 1, 0, 0, 1)),
+    ]
+    return spark.createDataFrame(rows, "id long, user_id long, kind string, ts timestamp_ntz")
+
+
+def _split(timeline):
+    import pyspark.sql.functions as F
+    probes = timeline.filter(F.col("kind") == "probe").select(
+        F.col("id").alias("pid"), "user_id", "ts")
+    refs = timeline.filter(F.col("kind") == "ref").select(
+        "user_id", F.col("id").alias("rid"), "ts")
+    return probes, refs
+
+
+def test_asof_backward_inclusive(timeline):
+    probes, refs = _split(timeline)
+    out = {r["pid"]: r["r_rid"] for r in
+           temporal.asof_join(probes, refs, on="user_id").collect()}
+    assert out == {1: None, 3: 2, 4: 2, 6: 5}
+
+
+def test_asof_backward_strict_excludes_tie(timeline):
+    probes, refs = _split(timeline)
+    out = {r["pid"]: r["r_rid"] for r in
+           temporal.asof_join(probes, refs, on="user_id", strict=True).collect()}
+    assert out == {1: None, 3: None, 4: 2, 6: 5}
+
+
+def test_asof_forward(timeline):
+    probes, refs = _split(timeline)
+    out = {r["pid"]: r["r_rid"] for r in
+           temporal.asof_join(probes, refs, on="user_id", direction="forward").collect()}
+    assert out == {1: 2, 3: 2, 4: 5, 6: None}
+
+
+def test_asof_tolerance_nulls_far_matches(timeline):
+    probes, refs = _split(timeline)
+    out = {r["pid"]: r["r_rid"] for r in
+           temporal.asof_join(probes, refs, on="user_id",
+                              tolerance_us=30_000_000).collect()}
+    # probe 4 is 20s after ref 2 (kept); probe 6 is 60s after ref 5 (dropped)
+    assert out == {1: None, 3: 2, 4: 2, 6: None}
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (10, _dt(2024, 1, 1, 0, 0, 0)),
+        (10, _dt(2024, 1, 1, 0, 30, 0)),
+        (10, _dt(2024, 1, 1, 9, 0, 0)),   # > 6h gap -> new session
+        (20, _dt(2024, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    stats = {(r["user_id"], r["session_idx"]): (r["n_events"], r["dur_us"])
+             for r in temporal.session_stats(df).collect()}
+    assert stats == {(10, 1): (2, 1800 * 1_000_000), (10, 2): (1, 0), (20, 1): (1, 0)}
+
+
+def test_dup_clusters_merge_transitively(docs):
+    # docs 0/1 exact dups and 0/2 near dups -> one cluster {0,1,2}
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in _dedup.dup_clusters(docs).collect()}
+    assert out.get(0) == (0, 3) and out.get(1) == (0, 3) and out.get(2) == (0, 3)
+    assert 3 not in out and 4 not in out
