@@ -421,6 +421,30 @@ ORDER BY doc_id
 """
 
 
+def _q33_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode (stdlib-zlib inflate + Sub unfilter) in an Arrow
+    batch kernel; the gradient pixel pattern makes every sum closed-form
+    for the SQL oracle."""
+    media = multimodal.synthesize_png_media(spark, n=48)
+    return multimodal.png_pixel_stats(media).orderBy("media_id")
+
+
+def _q33_oracle(n: int = 48) -> str:
+    return f"""
+WITH m AS (SELECT i, 16 + i % 16 AS w, 12 + i % 8 AS h
+           FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+ys AS (SELECT unnest(generate_series(0, 18)) AS y)
+SELECT m.i AS media_id, CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+       CAST(SUM((3 * x + 7 * y + m.i) % 256
+              + (3 * x + 7 * y + m.i + 91) % 256
+              + (3 * x + 7 * y + m.i + 182) % 256) AS BIGINT) AS px_sum
+FROM m JOIN xs ON xs.x < m.w JOIN ys ON ys.y < m.h
+GROUP BY m.i, m.w, m.h
+ORDER BY media_id
+"""
+
+
 def _q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for every click event, the latest purchase
     by the same user at or before the click (union-tag-window as-of
@@ -761,6 +785,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q30_dup_clusters": (_q30_dup_clusters, _q30_oracle()),
     "q31_asof_join": (_q31_asof_join, _Q31_ORACLE),
     "q32_sessions": (_q32_sessions, _Q32_ORACLE),
+    "q33_png_stats": (_q33_png_stats, _q33_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

@@ -276,3 +276,83 @@ def test_dup_clusters_merge_transitively(docs):
            for r in _dedup.dup_clusters(docs).collect()}
     assert out.get(0) == (0, 3) and out.get(1) == (0, 3) and out.get(2) == (0, 3)
     assert 3 not in out and 4 not in out
+
+
+# ------------------------------ PNG codec ----------------------------------
+
+import struct as _struct  # noqa: E402
+import zlib as _zlib  # noqa: E402
+
+
+def test_png_roundtrip_all_encode_filters():
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (19, 31, 3), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        back = multimodal.decode_png(multimodal.encode_png(px, filter_type=ft))
+        assert back.shape == px.shape and (back == px).all()
+
+
+def test_png_sub_filter_compresses_gradients():
+    grad = (
+        (np.arange(31)[None, :, None] * 3 + np.arange(19)[:, None, None] * 7) % 256
+    ).astype(np.uint8).repeat(3, axis=2)
+    sub = len(multimodal.encode_png(grad, filter_type=1))
+    none = len(multimodal.encode_png(grad, filter_type=0))
+    assert sub < none / 2
+
+
+def _hand_png(raw: np.ndarray, color: int, channels: int, ft: int) -> bytes:
+    """Build a PNG whose every scanline uses filter ft (the reference
+    per-pixel filter math, independent of the module's vectorized path)."""
+    h, stride = raw.shape
+    w = stride // channels
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y].astype(np.int32)
+        body.append(ft)
+        for x in range(stride):
+            a = int(cur[x - channels]) if x >= channels else 0
+            b = int(prev[x])
+            c = int(prev[x - channels]) if x >= channels else 0
+            pred = {
+                0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: multimodal._paeth(a, b, c)
+            }[ft]
+            body.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(bytes(body)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_average_and_paeth_filters():
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (5, 12), dtype=np.uint8)  # 4x5 RGB
+    for ft in (3, 4):
+        back = multimodal.decode_png(_hand_png(raw, color=2, channels=3, ft=ft))
+        assert (back.reshape(5, 12) == raw).all()
+
+
+def test_png_decode_gray_and_rgba():
+    rng = np.random.default_rng(9)
+    for color, ch in ((0, 1), (6, 4)):
+        raw = rng.integers(0, 256, (5, 4 * ch), dtype=np.uint8)
+        back = multimodal.decode_png(_hand_png(raw, color=color, channels=ch, ft=2))
+        assert back.shape == (5, 4, ch) and (back.reshape(5, 4 * ch) == raw).all()
+
+
+def test_png_crc_corruption_raises():
+    p = bytearray(multimodal.encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    p[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|not a PNG"):
+        multimodal.decode_png(bytes(p))
+
+
+def test_png_features_via_decode_features():
+    px = np.full((6, 8, 3), 200, dtype=np.uint8)
+    f = multimodal.decode_features(multimodal.encode_png(px), "image")
+    assert f[0] == 8 and f[1] == 6 and abs(f[2] - 200.0) < 1e-6
