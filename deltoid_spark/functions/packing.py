@@ -1,0 +1,76 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+packs (GPT-style pretraining concatenates the token stream and cuts a
+context window every `budget` tokens; the pack id of a document is
+which cut its first token falls in).
+
+Scale notes: the natural formulation is a GLOBAL running sum of token
+counts in document order — a single-partition window, the classic
+scale-killer.  Here it runs as a two-phase distributed prefix sum
+instead: (1) an intra-shard running sum, windowed per shard (fully
+parallel); (2) shard totals — one row per shard — get the global
+running offset on a shards-sized table, then broadcast-join back.
+Only the tiny totals table ever passes through an unpartitioned
+window (same bounded-stitch pattern as the run-length profile in
+functions/runs.py); `shard_size` scales the data-size-to-shard-count
+ratio at larger inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from . import text
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 4096,
+    shard_size: int = 128,
+    token_count: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document pack assignment: (doc_id, n_tok, start_off, pack_id)
+    where start_off is the document's first-token offset in the
+    concatenated corpus stream (ordered by id_col) and
+    pack_id = start_off DIV budget."""
+    toks = token_count if token_count is not None else text.bpe_token_count()
+    d = (
+        docs.select(F.col(id_col), toks.alias("n_tok"))
+        .withColumn("shard", F.floor(F.col(id_col) / shard_size))
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("intra_end", F.sum("n_tok").over(w_in))
+    totals = d.groupBy("shard").agg(F.max("intra_end").alias("shard_tot"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("shard_tot").over(w_sh), F.lit(0)).cast("long")
+    )
+    d = d.join(F.broadcast(offsets.select("shard", "offset")), "shard")
+    return d.select(
+        F.col(id_col),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("offset") + F.col("intra_end") - F.col("n_tok"))
+        .cast("long")
+        .alias("start_off"),
+    ).withColumn("pack_id", F.expr(f"start_off DIV {budget}"))
+
+
+def pack_stats(
+    docs: DataFrame, budget: int = 4096, shard_size: int = 128
+) -> DataFrame:
+    """Per-pack roll-up: document count, token total, first document."""
+    p = pack_documents(docs, budget, shard_size)
+    return (
+        p.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -24,7 +24,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions import dedup, multimodal, runs, similarity, temporal, text
+from .functions import dedup, multimodal, packing, runs, similarity, temporal, text
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -445,6 +445,32 @@ ORDER BY media_id
 """
 
 
+def _q34_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: cut the concatenated BPE-token stream into
+    4096-token training packs (two-phase distributed prefix sum,
+    functions/packing.py)."""
+    return packing.pack_stats(load(spark, sf_dir, "documents"), budget=4096)
+
+
+def _q34_oracle() -> str:
+    quoted = text.BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '{quoted}', 0)) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+           AS start_off
+  FROM t)
+SELECT CAST(start_off // 4096 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM c GROUP BY pack_id ORDER BY pack_id
+"""
+
+
 def _q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for every click event, the latest purchase
     by the same user at or before the click (union-tag-window as-of
@@ -786,6 +812,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q31_asof_join": (_q31_asof_join, _Q31_ORACLE),
     "q32_sessions": (_q32_sessions, _Q32_ORACLE),
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
+    "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

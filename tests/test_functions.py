@@ -356,3 +356,35 @@ def test_png_features_via_decode_features():
     px = np.full((6, 8, 3), 200, dtype=np.uint8)
     f = multimodal.decode_features(multimodal.encode_png(px), "image")
     assert f[0] == 8 and f[1] == 6 and abs(f[2] - 200.0) < 1e-6
+
+
+# ---------------------------- sequence packing -----------------------------
+
+from deltoid_spark.functions import packing  # noqa: E402
+import pyspark.sql.functions as _F  # noqa: E402
+
+
+def test_pack_documents_matches_serial_prefix_sum(spark):
+    rng = np.random.default_rng(3)
+    toks = rng.integers(1, 900, 200).tolist()
+    df = spark.createDataFrame([(i, int(t)) for i, t in enumerate(toks)],
+                               "doc_id long, n_tok long")
+    out = {r["doc_id"]: (r["start_off"], r["pack_id"]) for r in
+           packing.pack_documents(df, budget=1000, shard_size=16,
+                                  token_count=_F.col("n_tok")).collect()}
+    off = 0
+    for i, t in enumerate(toks):
+        assert out[i] == (off, off // 1000), i
+        off += t
+
+
+def test_pack_documents_shard_size_invariant(spark):
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(rng.integers(1, 500, 150))],
+        "doc_id long, n_tok long")
+    a = sorted(map(tuple, packing.pack_documents(
+        df, 2048, shard_size=7, token_count=_F.col("n_tok")).collect()))
+    b = sorted(map(tuple, packing.pack_documents(
+        df, 2048, shard_size=64, token_count=_F.col("n_tok")).collect()))
+    assert a == b
