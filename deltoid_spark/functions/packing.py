@@ -60,6 +60,37 @@ def pack_documents(
     ).withColumn("pack_id", F.expr(f"start_off DIV {budget}"))
 
 
+def hash_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 8 hex
+    chars of md5(key) mod 1000, mapped to splits by permille weights.
+
+    Content-stable (a document keeps its split across reruns and
+    cluster sizes — no RNG, no row order dependence), pure JVM
+    expressions, and reproducible in any engine with md5 + integer
+    arithmetic.  Weights are permille and must sum to 1000.
+    """
+    weights = weights or {"train": 980, "val": 10, "test": 10}
+    if sum(weights.values()) != 1000:
+        raise ValueError("split weights must sum to 1000 (permille)")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1000),
+    )
+    expr: Column | None = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
 def pack_stats(
     docs: DataFrame, budget: int = 4096, shard_size: int = 128
 ) -> DataFrame:

@@ -471,6 +471,38 @@ FROM c GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def _q35_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test split (md5 permille
+    buckets), rolled up per (split, lang)."""
+    docs = packing.hash_split(
+        load(spark, sf_dir, "documents"),
+        weights={"train": 900, "val": 50, "test": 50},
+    )
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("tot_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+_Q35_ORACLE = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM documents),
+s AS (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 900 THEN 'train'
+              WHEN bucket < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 def _q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for every click event, the latest purchase
     by the same user at or before the click (union-tag-window as-of
@@ -813,6 +845,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q32_sessions": (_q32_sessions, _Q32_ORACLE),
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
+    "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

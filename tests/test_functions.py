@@ -388,3 +388,16 @@ def test_pack_documents_shard_size_invariant(spark):
     b = sorted(map(tuple, packing.pack_documents(
         df, 2048, shard_size=64, token_count=_F.col("n_tok")).collect()))
     assert a == b
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in packing.hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         packing.hash_split(df.repartition(13)).collect()}
+    assert a == b  # content-stable: row order / partitioning irrelevant
+    n = len(a)
+    frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.96 < frac < 0.995
+    with pytest.raises(ValueError, match="sum to 1000"):
+        packing.hash_split(df, weights={"train": 1})
