@@ -140,6 +140,38 @@ def dedup_stream(
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Watermarked session-window counts per key (the streaming analog
+    of functions/temporal.sessionize): each event extends its session
+    window ``gap`` past itself; overlapping windows merge, and the
+    watermark lets Spark finalize and evict sessions no on-time event
+    can still extend.
+
+    Boundary nit vs the batch operator: session_window closes a session
+    when the next gap is >= ``gap`` (window end is exclusive), while
+    sessionize splits strictly > ``gap_s`` — identical everywhere except
+    an exact-gap tie.  Works on both static frames and streams (same
+    plan; state bounding only applies on a stream).
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -188,3 +188,57 @@ def test_dedup_stream_emits_each_fingerprint_once(spark, tmp_path_factory):
     # static parity: the same operator on a batch frame
     static = streaming.dedup_stream(spark.createDataFrame(pdf))
     assert static.count() == 60
+
+
+def test_session_counts_static_matches_batch_sessionize(spark):
+    """session_window grouping must agree with the batch sessionize
+    operator on real data (no exact-gap ties at microsecond stamps)."""
+    from deltoid_spark.functions import temporal
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sw = streaming.session_counts(events, gap="6 hours", watermark="12 hours")
+    batch = temporal.session_stats(events, gap_s=21600)
+    a = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+    assert a == b
+    assert sum(n for _, n in a) == events.count()
+
+
+def test_session_counts_on_a_real_stream(spark, tmp_path_factory):
+    static_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    static_events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(static_events.schema).parquet(src)
+    cast = lambda df: df.withColumn("ts", df["ts"].cast("timestamp"))  # noqa: E731
+    out = streaming.session_counts(cast(stream), gap="6 hours", watermark="12 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    static_rows = streaming.session_counts(cast(static_events)).collect()
+    want = {(r["user_id"], r["session_start"], r["n_events"]) for r in static_rows}
+    # append mode only emits sessions the final watermark has closed:
+    # the stream output is the watermark-finalized subset of the static
+    # result, and every session that certainly closed must be present
+    import datetime
+
+    assert got <= want
+    # final watermark = max event time - 12h; session_end already
+    # includes the 6h gap, so anchor on max(session_end) - 6h - 12h
+    max_ts = max(r["session_end"] for r in static_rows)
+    cutoff = max_ts - datetime.timedelta(hours=19)  # 6 + 12 + slack
+    closed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in static_rows
+        if r["session_end"] < cutoff
+    }
+    assert closed <= got and len(got) > 0
