@@ -220,6 +220,44 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
     )
 
 
+def contamination(
+    docs: DataFrame, bench: DataFrame, width: int = SHINGLE
+) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing at least
+    one character shingle with a held-out benchmark set (the standard
+    "remove eval-set overlap from the training corpus" pass), plus the
+    overlap size for thresholding.
+
+    Scale notes: both sides reduce to DISTINCT hashed shingles (8-byte
+    md5-prefix ints, same shuffle-weight cut as jaccard_verify) before
+    the join; the benchmark side of a decontamination run is small by
+    construction, so its gram set broadcasts and the corpus side never
+    shuffles by gram at all — the expensive explode stays map-side.
+    """
+    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    doc_grams = (
+        char_shingles(docs, width).select("doc_id", gram_hash.alias("g")).distinct()
+    )
+    bench_grams = (
+        char_shingles(bench, width).select(gram_hash.alias("g")).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash64(text: str) -> int:
     """Pure-python reference SimHash (the unit-test oracle for simhash()).
 

@@ -139,3 +139,58 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         .cast("long").alias("chars_per_token_x100"),
         "en_stop_hits",
     ).orderBy("doc_id")
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: lexical
+    diversity (distinct-word fraction) and the mass of the most
+    frequent word / word-bigram — the classic "repeated boilerplate"
+    filters for pretraining corpora (Rae et al. 2021 §A1.1 use the
+    same family over lines/paragraphs/n-grams).
+
+    All JVM expressions: tokens split once, bigrams built with
+    slice+zip_with (no shuffle before the per-doc aggregates, which
+    are map-side combinable on doc_id).  Fractions are integer
+    permille for cross-engine value-hash exactness.
+    """
+    toks = F.filter(
+        F.split(F.col("text"), "[ \\t\\n\\r]+"), lambda t: t != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+    words = d.select("doc_id", F.explode("toks").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_w"),
+    )
+    n = F.size("toks")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")
+    )
+    pm = lambda num, den: F.floor(num * 1000 / F.greatest(den, F.lit(1))).cast(  # noqa: E731
+        "long"
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .na.fill({"n_bigrams": 0, "top_bg": 0})
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            pm(F.col("n_distinct"), F.col("n_words")).alias("distinct_permille"),
+            pm(F.col("top_w"), F.col("n_words")).alias("top_word_permille"),
+            pm(F.col("top_bg"), F.col("n_bigrams")).alias("top_bigram_permille"),
+        )
+        .orderBy("doc_id")
+    )

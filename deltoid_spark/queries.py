@@ -471,6 +471,76 @@ FROM c GROUP BY pack_id ORDER BY pack_id
 """
 
 
+def _q37_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 25th document plays the role of
+    a held-out eval set; the rest of the corpus is flagged by hashed
+    shingle overlap (broadcast bench grams, no corpus-side gram
+    shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return dedup.contamination(corpus, bench)
+
+
+def _q37_oracle() -> str:
+    grams = """
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS g
+  FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 16) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(1, length(text) - 15))) AS i
+              FROM {side}))"""
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+cg AS (SELECT DISTINCT doc_id, g FROM ({grams.format(side="corpus")}) t),
+bgr AS (SELECT DISTINCT g FROM ({grams.format(side="bench")}) t),
+hits AS (SELECT doc_id, COUNT(*) AS n_overlap FROM cg JOIN bgr USING (g)
+         GROUP BY doc_id)
+SELECT c.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+def _q36_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (distinct-word mass,
+    top word/bigram mass) per document."""
+    return text.repetition_metrics(load(spark, sf_dir, "documents"))
+
+
+_Q36_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+ws AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+              MAX(c) AS top_w
+       FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       FROM t),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg
+       FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+       CAST(FLOOR(ws.n_distinct * 1000 / greatest(ws.n_words, 1)) AS BIGINT)
+         AS distinct_permille,
+       CAST(FLOOR(ws.top_w * 1000 / greatest(ws.n_words, 1)) AS BIGINT)
+         AS top_word_permille,
+       CAST(FLOOR(COALESCE(bs.top_bg, 0) * 1000
+                  / greatest(COALESCE(bs.n_bigrams, 0), 1)) AS BIGINT)
+         AS top_bigram_permille
+FROM ws LEFT JOIN bs USING (doc_id)
+ORDER BY ws.doc_id
+"""
+
+
 def _q35_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-stable train/val/test split (md5 permille
     buckets), rolled up per (split, lang)."""
@@ -846,6 +916,8 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
+    "q36_repetition": (_q36_repetition, _Q36_ORACLE),
+    "q37_contamination": (_q37_contamination, _q37_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

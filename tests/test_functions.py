@@ -401,3 +401,28 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.96 < frac < 0.995
     with pytest.raises(ValueError, match="sum to 1000"):
         packing.hash_split(df, weights={"train": 1})
+
+
+def test_repetition_metrics_hand_values(spark):
+    from deltoid_spark.functions import text as textf
+    rows = [(0, "a a a a"), (1, "a b c d"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["distinct_permille"],
+                         r["top_word_permille"], r["top_bigram_permille"])
+           for r in textf.repetition_metrics(df).collect()}
+    assert out[0] == (4, 250, 1000, 1000)   # "a a" bigram dominates
+    assert out[1] == (4, 1000, 250, 333)    # all distinct
+    assert out[2] == (1, 1000, 1000, 0)     # no bigrams
+    assert 3 not in out                     # zero-token docs drop out
+
+
+def test_contamination_flags_overlap(docs):
+    # bench = doc 1 (exact dup of doc 0); doc 0 fully overlaps, doc 2
+    # (near dup) partially, docs 3/4 not at all
+    bench = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id <> 1")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in dedup.contamination(corpus, bench).collect()}
+    assert out[0][1] == 1 and out[0][0] > 0
+    assert out[2][1] == 1 and 0 < out[2][0] < out[0][0]
+    assert out[3] == (0, 0) and out[4] == (0, 0)
