@@ -426,3 +426,53 @@ def test_contamination_flags_overlap(docs):
     assert out[0][1] == 1 and out[0][0] > 0
     assert out[2][1] == 1 and 0 < out[2][0] < out[0][0]
     assert out[3] == (0, 0) and out[4] == (0, 0)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check of the union-tag-window as-of join
+    against pandas.merge_asof (an independent reference) over every
+    direction/strict/tolerance combination."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l = 120
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l).astype("int64"),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rights = []
+    for k in range(5):
+        ts = rng.choice(10**6, size=16, replace=False)  # unique per key
+        rights.append(pd.DataFrame({"k": np.full(16, k, dtype="int64"),
+                                    "ts": pd.to_datetime(ts, unit="s"),
+                                    "rid": (k * 100 + np.arange(16)).astype("int64")}))
+    right = pd.concat(rights, ignore_index=True)
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            for tol in (None, 3600 * 1_000_000):
+                got = {
+                    r["lid"]: r["r_rid"]
+                    for r in temporal.asof_join(
+                        ldf, rdf, on="k", strict=strict,
+                        direction=direction, tolerance_us=tol,
+                    ).collect()
+                }
+                ref = pd.merge_asof(
+                    left.sort_values("ts"),
+                    right.sort_values("ts").rename(columns={"rid": "r_rid"}),
+                    on="ts", by="k", direction=direction,
+                    allow_exact_matches=not strict,
+                    tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+                )
+                want = {
+                    int(row.lid): (None if pd.isna(row.r_rid) else int(row.r_rid))
+                    for row in ref.itertuples()
+                }
+                assert got == want, (direction, strict, tol)

@@ -196,3 +196,22 @@ def test_strlist_roundtrip_property(rows):
     s = pd.Series(rows, dtype=object)
     dec = api.decode_block(api.encode_block(s, "strlist"))
     assert dec.tolist() == rows
+
+
+# ------------------------------- PNG codec ---------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, filter_type, seed):
+    from deltoid_spark.functions import multimodal
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = multimodal.decode_png(multimodal.encode_png(px, filter_type=filter_type))
+    assert back.shape == px.shape and (back == px).all()
