@@ -220,6 +220,32 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
     )
 
 
+def dedup_select(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, keep
+    the longest document (min doc_id on ties) — the curation step that
+    turns cluster assignments into an actual keep-list.
+
+    One max_by aggregate per cluster (map-side combinable; the struct
+    ordering (score, -doc_id) encodes the argmax-with-tie-break), no
+    window, no extra shuffle beyond the cluster groupBy.
+    """
+    clusters = dup_clusters(docs, bands)
+    scored = clusters.join(
+        docs.select("doc_id", F.length("text").alias("score")), "doc_id"
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max_by("doc_id", F.struct(F.col("score"), -F.col("doc_id"))).alias(
+                "keeper"
+            ),
+            F.max("score").cast("long").alias("keeper_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def contamination(
     docs: DataFrame, bench: DataFrame, width: int = SHINGLE
 ) -> DataFrame:

@@ -396,12 +396,13 @@ def _q30_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(load(spark, sf_dir, "documents"))
 
 
-def _q30_oracle() -> str:
-    """Connected components over the LSH pair graph via a recursive CTE:
+def _cc_ctes() -> str:
+    """Recursive-CTE connected components over the LSH pair graph:
     enumerate every (node, reachable-node) pair by walking edges from
     each node, then take the min reachable id as the component label —
     the textbook transitive-closure formulation, independent of the
-    Spark side's iterative hash-min propagation."""
+    Spark side's iterative hash-min propagation.  Ends at CTE ``cc``
+    (node, cluster_id)."""
     ctes = _lsh_pair_ctes().replace("WITH g AS", "WITH RECURSIVE g AS", 1)
     return f"""
 {ctes},
@@ -412,7 +413,12 @@ reach(node, label) AS (
   SELECT DISTINCT u, u FROM edges
   UNION
   SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
-cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)"""
+
+
+def _q30_oracle() -> str:
+    return f"""
+{_cc_ctes()},
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
 SELECT cc.node AS doc_id, cc.cluster_id,
        CAST(sizes.cluster_size AS BIGINT) AS cluster_size
@@ -570,6 +576,29 @@ s AS (
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS tot_chars
 FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def _q38_dedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster (longest doc wins,
+    min doc_id tie-break)."""
+    return dedup.dedup_select(load(spark, sf_dir, "documents"))
+
+
+def _q38_oracle() -> str:
+    return f"""
+{_cc_ctes()},
+scored AS (
+  SELECT cc.node AS doc_id, cc.cluster_id, length(d.text) AS score
+  FROM cc JOIN documents d ON d.doc_id = cc.node),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+       CAST(MAX(CASE WHEN rn = 1 THEN score END) AS BIGINT) AS keeper_chars
+FROM r GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -918,6 +947,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),
     "q37_contamination": (_q37_contamination, _q37_oracle()),
+    "q38_dedup_select": (_q38_dedup_select, _q38_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

@@ -476,3 +476,17 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                     for row in ref.itertuples()
                 }
                 assert got == want, (direction, strict, tol)
+
+
+def test_dedup_select_keeps_longest(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again or so"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely unrelated text about columnar codecs and encode paths"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cluster_id"]: (r["n_docs"], r["keeper"], r["keeper_chars"])
+           for r in dedup.dedup_select(df).collect()}
+    # docs 0/1/2 cluster; doc 1 is longest -> keeper
+    assert out == {0: (3, 1, len(rows[1][1]))}
