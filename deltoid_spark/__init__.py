@@ -12,7 +12,9 @@ Layout:
   kernels/    pure numpy/pandas codecs — no Spark imports (unit-testable)
   fixtures/   deterministic synthetic code-repository table generator
   jobs/       Spark encode / decode / verify jobs + manifest / partitioning
-  functions/  training-data-pipeline ops (dedup, similarity, text analysis)
+  functions/  training-data-pipeline ops (dedup + clustering, similarity,
+              text analysis, temporal joins/sessions, packing/splits,
+              multimodal codecs)
   queries.py  driver-contract query catalog (queries + DuckDB oracle SQL)
 """
 
