@@ -220,6 +220,52 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
     )
 
 
+def duplicate_text_mass(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
+    """Exact substring-duplication mass per document: the fraction of a
+    doc's character-shingle positions whose shingle also appears in at
+    least one OTHER document (the deduplicate-training-data signal of
+    Lee et al. 2021 — exact partial overlap, where MinHash only sees
+    whole-document similarity).
+
+    Scale notes: shingles hash to 8-byte md5-prefix ints before any
+    shuffle; the cross-corpus gram index is one map-side-combinable
+    aggregate (gram -> distinct-doc count approximated exactly by
+    min/max doc comparison — two longs per gram, never a doc list);
+    the join back is gram-hash-uniform so no skew handling is needed.
+    """
+    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    pos = char_shingles(docs, width).select("doc_id", gram_hash.alias("g"))
+    # a gram is "shared" iff it appears in >= 2 distinct docs; min!=max
+    # over doc ids detects that without count(distinct) or a doc list
+    shared = (
+        pos.groupBy("g")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .select("g", (F.col("d0") != F.col("d1")).alias("multi"), "d0")
+    )
+    joined = pos.join(shared, "g").select(
+        "doc_id",
+        # position is duplicated if its gram is multi-doc, OR intra-doc
+        # repeats don't count: gram in one doc only => not duplicated
+        F.col("multi").cast("int").alias("dup"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("dup").cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.floor(F.col("n_dup_grams") * 1000 / F.greatest("n_grams", F.lit(1)))
+            .cast("long")
+            .alias("dup_mass_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_select(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
     """Canonical-document selection: for every near-dup cluster, keep
     the longest document (min doc_id on ties) — the curation step that

@@ -579,6 +579,29 @@ FROM s GROUP BY split, lang ORDER BY split, lang
 """
 
 
+def _q39_dup_text_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication mass per document (hashed 16-gram
+    positions occurring in >= 2 distinct docs)."""
+    return dedup.duplicate_text_mass(load(spark, sf_dir, "documents"))
+
+
+_Q39_ORACLE = """
+WITH p AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS g
+  FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 16) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(1, length(text) - 15))) AS i
+              FROM documents))),
+sh AS (SELECT g, MIN(doc_id) <> MAX(doc_id) AS multi FROM p GROUP BY g)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN sh.multi THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(FLOOR(SUM(CASE WHEN sh.multi THEN 1 ELSE 0 END) * 1000
+                  / greatest(COUNT(*), 1)) AS BIGINT) AS dup_mass_permille
+FROM p JOIN sh USING (g)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 def _q38_dedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per near-dup cluster (longest doc wins,
     min doc_id tie-break)."""
@@ -948,6 +971,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),
     "q37_contamination": (_q37_contamination, _q37_oracle()),
     "q38_dedup_select": (_q38_dedup_select, _q38_oracle()),
+    "q39_dup_text_mass": (_q39_dup_text_mass, _Q39_ORACLE),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

@@ -490,3 +490,11 @@ def test_dedup_select_keeps_longest(spark):
            for r in dedup.dedup_select(df).collect()}
     # docs 0/1/2 cluster; doc 1 is longest -> keeper
     assert out == {0: (3, 1, len(rows[1][1]))}
+
+
+def test_duplicate_text_mass(docs):
+    out = {r["doc_id"]: r["dup_mass_permille"]
+           for r in dedup.duplicate_text_mass(docs).collect()}
+    assert out[0] == 1000 and out[1] == 1000   # exact dups: every gram shared
+    assert 0 < out[2] < 1000                   # near dup: partial overlap
+    assert out[3] == 0 and out[4] == 0         # unrelated docs
