@@ -159,18 +159,23 @@ def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) 
     )
 
 
-def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph — the
-    final stage of the classic web-scale dedup pipeline (pairs tell you
-    *which* docs collide; clusters tell you *what to keep*: one
-    canonical doc per component).
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected pair list (columns
+    ``doc_a``/``doc_b``): every node gets the min node id of its
+    component as ``cluster_id``.  Works on any candidate-pair frame —
+    LSH shingle pairs, embedding near-dup pairs (q27), or a
+    user-supplied edge list.
 
     Algorithm: iterative hash-min label propagation.  Every node starts
     labelled with its own id; each round the label of every node drops
     to the min label over itself and its neighbours.  Converges in
     O(component diameter) rounds — near-dup clusters are dense (LSH
-    pairs approximate a clique), so diameters are tiny in practice and
-    ``max_iter`` is a safety rail, not a tuning knob.
+    pairs approximate a clique), so diameters are tiny in practice.
+    Raises if ``max_iter`` rounds don't reach the fixpoint rather than
+    returning silently-unmerged labels; for adversarial graphs with
+    huge diameters, swap the propagation step for alternating
+    large-star/small-star (Kiveris et al.) — same join primitive,
+    O(log n) rounds.
 
     Scale notes: each round is one shuffle join (edges x labels, both
     hash-partitioned on the node id) plus a map-side-combinable min
@@ -179,12 +184,8 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
     only ever decrease, so the sum is strictly monotone until fixpoint
     (cheaper than a changed-rows anti-join).  ``localCheckpoint``
     truncates the per-round lineage so the plan doesn't grow with the
-    iteration count.  For graphs with giant components (adversarial,
-    not near-dup-shaped), swap the propagation step for alternating
-    large-star/small-star (Kiveris et al.) — same join primitive,
-    O(log n) rounds.
+    iteration count.
     """
-    pairs = lsh_candidate_pairs(docs, bands)
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
@@ -193,7 +194,10 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = prev_sum is None  # empty graph
     for _ in range(max_iter):
+        if converged:
+            break
         prop = edges.join(labels, edges.u == labels.node).select(
             F.col("v").alias("node"), "label"
         )
@@ -205,9 +209,15 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            converged = True
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "a large-star/small-star variant for path-shaped graphs"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -218,6 +228,14 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 30) -> D
         )
         .orderBy("doc_id")
     )
+
+
+def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 50) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH
+    candidate-pair graph — the final stage of the classic web-scale
+    dedup pipeline (pairs tell you *which* docs collide; clusters tell
+    you *what to keep*: one canonical doc per component)."""
+    return connected_components(lsh_candidate_pairs(docs, bands), max_iter)
 
 
 def duplicate_text_mass(docs: DataFrame, width: int = SHINGLE) -> DataFrame:

@@ -498,3 +498,40 @@ def test_duplicate_text_mass(docs):
     assert out[0] == 1000 and out[1] == 1000   # exact dups: every gram shared
     assert 0 < out[2] < 1000                   # near dup: partial overlap
     assert out[3] == 0 and out[4] == 0         # unrelated docs
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(21)
+    n, m = 60, 50
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {x for e in edges for x in e}
+    want = {}
+    roots = {}
+    for x in sorted(touched):
+        r = find(x)
+        roots.setdefault(r, x)  # min node id in component
+        want[x] = roots[r]
+    assert got == want
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    # a path graph of length 30 has diameter 30 > max_iter=3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
