@@ -103,6 +103,92 @@ def _script_cost(n_lines_chars: int, n_ints: int) -> int:
     return n_lines_chars + 8 * n_ints
 
 
+def _precompute_deltas(
+    codes: np.ndarray,
+    loffs: np.ndarray,
+    line_lens: np.ndarray,
+    clen: np.ndarray,
+    cand: np.ndarray,
+    keyframe_cost_ints: int = 3,
+):
+    """Vectorized `_version_deltas` + script-cost evaluation for EVERY
+    candidate delta row at once (cand = ascending row indices whose
+    previous version is the physically preceding row).
+
+    The per-version loop used to call `_version_deltas` ~|rows| times;
+    the comparisons were already C-speed int-code compares, but the
+    per-call numpy dispatch dominated.  Here all prefix comparisons run
+    as ONE segmented elementwise compare over a gathered index space,
+    per-segment edit lists fall out of a single flatnonzero +
+    searchsorted, and the suffix (splice) comparison is a second
+    segmented pass over only the undecided tails.  Outputs are exactly
+    the values the loop used to compute row by row, so the encoded
+    bytes are identical (pinned by the golden-sha tests).
+
+    Returns (choice, ecounts, eoff, local_idx, flat_elines, p, s,
+    na, nb, m) where choice is 0=keyframe, 1=splice, 2=positional.
+    """
+    prev_lo = loffs[cand - 1]
+    cur_lo = loffs[cand]
+    cur_hi = loffs[cand + 1]
+    na = cur_lo - prev_lo
+    nb = cur_hi - cur_lo
+    m = np.minimum(na, nb)
+    D = len(cand)
+    seg_off = np.concatenate(([0], np.cumsum(m)))
+    tot = int(seg_off[-1])
+    rep = np.repeat(np.arange(D, dtype=np.int64), m)
+    j = np.arange(tot, dtype=np.int64) - seg_off[rep]
+    neq = codes[prev_lo[rep] + j] != codes[cur_lo[rep] + j]
+    nz = np.flatnonzero(neq)
+    seg_nz = rep[nz]
+    ecounts = np.bincount(seg_nz, minlength=D).astype(np.int64)
+    eoff = np.concatenate(([0], np.cumsum(ecounts)))
+    local_idx = nz - seg_off[seg_nz]
+    flat_elines = codes[cur_lo[seg_nz] + local_idx]
+    # first mismatch per segment (defaults to m: full prefix match)
+    p = m.copy()
+    if len(nz):
+        useg, ufirst = np.unique(seg_nz, return_index=True)
+        p[useg] = local_idx[ufirst]
+    # longest clean suffix within the undecided middle (reference
+    # semantics: s = index of first mismatch scanning backwards)
+    max_s = m - p
+    s = np.zeros(D, dtype=np.int64)
+    sub = np.flatnonzero(max_s > 0)
+    if len(sub):
+        ms = max_s[sub]
+        off2 = np.concatenate(([0], np.cumsum(ms)))
+        rep2 = np.repeat(np.arange(len(sub), dtype=np.int64), ms)
+        j2 = np.arange(int(off2[-1]), dtype=np.int64) - off2[rep2]
+        a_start = prev_lo[sub] + na[sub] - ms
+        b_start = cur_lo[sub] + nb[sub] - ms
+        neq2 = codes[a_start[rep2] + j2] != codes[b_start[rep2] + j2]
+        nz2 = np.flatnonzero(neq2)
+        s_sub = ms.copy()
+        if len(nz2):
+            u2, f2 = np.unique(rep2[nz2][::-1], return_index=True)
+            last_local = nz2[::-1][f2] - off2[u2]
+            s_sub[u2] = ms[u2] - 1 - last_local
+        s[sub] = s_sub
+    # script costs (all cur-side, via the line-length prefix sums)
+    echars = np.zeros(D, dtype=np.int64)
+    if len(nz):
+        echars = np.bincount(
+            seg_nz, weights=line_lens[cur_lo[seg_nz] + local_idx], minlength=D
+        ).astype(np.int64)
+    achars = clen[cur_hi] - clen[cur_lo + m]
+    pos_cost = echars + achars + 8 * (ecounts + keyframe_cost_ints)
+    sins_cnt = nb - p - s
+    spl_chars = clen[cur_lo + p + sins_cnt] - clen[cur_lo + p]
+    spl_cost = spl_chars + 8 * keyframe_cost_ints
+    text_chars = clen[cur_hi] - clen[cur_lo] + (nb - 1)
+    choice = np.full(D, 2, dtype=np.int8)
+    choice[spl_cost < pos_cost] = 1
+    choice[np.minimum(pos_cost, spl_cost) >= text_chars] = 0
+    return choice, ecounts, eoff, local_idx, flat_elines, p, s, na, nb, m
+
+
 def encode_chain(
     contents: pd.Series,
     group_sizes: np.ndarray,
@@ -201,40 +287,85 @@ def encode_chain(
     delta_lines: list[np.ndarray] = []  # per-script line arrays, concat once
     splice_flags: list[bool] = []
 
+    # candidate rows for the vectorized delta path: previous version is
+    # the physically preceding row (v > 0), neither side null, cadence
+    # doesn't force a keyframe.  Cost-degraded keyframes don't affect
+    # later comparisons (the comparison chain is always vs the raw
+    # previous version), so the whole pair set is known upfront.
+    gs = np.asarray(group_sizes, dtype=np.int64)
+    if n:
+        group_starts = np.concatenate(([0], np.cumsum(gs)))[:-1]
+        v_pos = np.arange(n, dtype=np.int64) - np.repeat(group_starts, gs)
+        v0_rep = np.repeat(np.asarray(base_versions, dtype=np.int64), gs)
+        cadence_key = (v0_rep + v_pos) % keyframe_interval == 0
+        prev_row_null = np.concatenate(([True], is_null[:-1]))
+        cand_mask = (~cadence_key) & (~is_null) & (v_pos > 0) & (~prev_row_null)
+    else:
+        cand_mask = np.zeros(0, dtype=bool)
+    cand = np.flatnonzero(cand_mask)
+    if len(cand):
+        (vchoice, _vec, veoff, vlocal, velines, vp, vs, vna, vnb, vm) = (
+            _precompute_deltas(codes, loffs, line_lens, clen, cand)
+        )
+    cursor = 0
+
     row = 0
     for g, gsize in enumerate(group_sizes):
-        if seeded[g]:
-            prev_arr: np.ndarray | None = _seed_codes(base_texts[g])
-            prev_null = False
-        else:
-            prev_arr = None
-            prev_null = True
         v0 = int(base_versions[g])
         for v in range(int(gsize)):
             i = row + v
             cur_null = bool(is_null[i])
-            force_key = (
-                (v0 + v) % keyframe_interval == 0 or cur_null or prev_null
-            )
-            if not force_key:
-                # zero-copy int-code slice; one prefix comparison shared
-                # by both candidate scripts
+            force_key = True
+            if cand_mask[i]:
+                c = cursor
+                cursor += 1
                 lo, hi = loffs[i], loffs[i + 1]
-                new_arr = codes[lo:hi]
+                ch = vchoice[c]
+                if ch == 1:  # splice wins
+                    p_, s_ = int(vp[c]), int(vs[c])
+                    sins = codes[lo + p_ : hi - s_]
+                    splice_flags.append(True)
+                    edit_counts.append(len(sins))
+                    add_counts.append(p_)
+                    remove_counts.append(int(vna[c]) - p_ - s_)
+                    edit_indices.append(np.zeros(0, dtype=np.int64))
+                    delta_lines.append(sins)
+                    force_key = False
+                elif ch == 2:  # positional wins
+                    e0, e1 = int(veoff[c]), int(veoff[c + 1])
+                    m_ = int(vm[c])
+                    splice_flags.append(False)
+                    edit_counts.append(e1 - e0)
+                    add_counts.append(int(vnb[c]) - m_)
+                    remove_counts.append(max(int(vna[c] - vnb[c]), 0))
+                    edit_indices.append(vlocal[e0:e1])
+                    delta_lines.append(velines[e0:e1])
+                    delta_lines.append(codes[lo + m_ : hi])
+                    force_key = False
+                # ch == 0: neither script pays -> keyframe
+            elif (
+                v == 0
+                and seeded[g]
+                and not cur_null
+                and (v0 % keyframe_interval) != 0
+            ):
+                # seeded continuation: first version deltas against the
+                # supplied base text (rare; per-group python path)
+                seed_arr = _seed_codes(base_texts[g])
+                lo, hi = loffs[i], loffs[i + 1]
                 eidx, elines, adds, rem, sp, sdel, sins = _version_deltas(
-                    prev_arr, new_arr
+                    seed_arr, codes[lo:hi]
                 )
-                # char totals via the prefix sums (no per-line len calls):
-                # edits index into new, adds/sins are contiguous new slices
-                m = hi - lo if len(prev_arr) > hi - lo else len(prev_arr)
+                m_ = hi - lo if len(seed_arr) > hi - lo else len(seed_arr)
                 echars = int(line_lens[lo + eidx].sum()) if len(eidx) else 0
-                achars = int(clen[hi] - clen[lo + m])
+                achars = int(clen[hi] - clen[lo + m_])
                 pos_cost = _script_cost(echars + achars, len(eidx) + 3)
-                spl_cost = _script_cost(int(clen[lo + sp + len(sins)] - clen[lo + sp]), 3)
-                # degrade to keyframe if neither script pays
+                spl_cost = _script_cost(
+                    int(clen[lo + sp + len(sins)] - clen[lo + sp]), 3
+                )
                 text_chars = int(clen[hi] - clen[lo]) + (hi - lo - 1)
                 if min(pos_cost, spl_cost) >= text_chars:
-                    force_key = True
+                    pass  # degrade to keyframe
                 elif spl_cost < pos_cost:
                     splice_flags.append(True)
                     edit_counts.append(len(sins))
@@ -242,7 +373,7 @@ def encode_chain(
                     remove_counts.append(sdel)
                     edit_indices.append(np.zeros(0, dtype=np.int64))
                     delta_lines.append(sins)
-                    prev_arr = new_arr
+                    force_key = False
                 else:
                     splice_flags.append(False)
                     edit_counts.append(len(eidx))
@@ -251,15 +382,11 @@ def encode_chain(
                     edit_indices.append(eidx)
                     delta_lines.append(elines)
                     delta_lines.append(adds)
-                    prev_arr = new_arr
+                    force_key = False
             if force_key:
                 is_key[i] = True
                 if not cur_null:
                     key_idx.append(i)
-                    prev_arr = codes[loffs[i] : loffs[i + 1]]
-                else:
-                    prev_arr = None
-            prev_null = cur_null
         row += int(gsize)
 
     gmeta, gpay = pack_ints(np.asarray(group_sizes, dtype=np.int64))
