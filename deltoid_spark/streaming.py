@@ -172,6 +172,52 @@ def session_counts(
     )
 
 
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each click with purchases by
+    the same user within ``interval`` AFTER the click (the attribution
+    join).  Both sides carry watermarks and the join condition bounds
+    event time in both directions, so Spark can evict state for rows no
+    on-time match can still reach — the canonical bounded-state
+    stream-stream join shape.  Works identically on static frames.
+
+    Inputs need columns (user_id, event_id, ts); output is one row per
+    qualifying (click, purchase) pair with the lag between them.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {interval}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("lag_us"),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

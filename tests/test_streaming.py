@@ -242,3 +242,62 @@ def test_session_counts_on_a_real_stream(spark, tmp_path_factory):
         if r["session_end"] < cutoff
     }
     assert closed <= got and len(got) > 0
+
+
+def _click_purchase_frames(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cast = lambda df: df.withColumn("ts", df["ts"].cast("timestamp"))  # noqa: E731
+    clicks = cast(ev.filter(ev.event_type == "click"))
+    purchases = cast(ev.filter(ev.event_type == "purchase"))
+    return ev, clicks, purchases
+
+
+def test_interval_join_static_matches_plain_join(spark):
+    ev, clicks, purchases = _click_purchase_frames(spark)
+    out = streaming.interval_join(clicks, purchases, interval="1 hour")
+    rows = {(r["click_id"], r["purchase_id"], r["lag_us"]) for r in out.collect()}
+    # reference: plain SQL join on the same condition
+    ev.createOrReplaceTempView("ev")
+    want = {
+        tuple(r)
+        for r in spark.sql("""
+            SELECT c.event_id, p.event_id,
+                   unix_micros(CAST(p.ts AS timestamp)) - unix_micros(CAST(c.ts AS timestamp))
+            FROM ev c JOIN ev p
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """).collect()
+    }
+    assert rows == want and len(rows) > 0
+
+
+def test_interval_join_on_real_streams(spark, tmp_path_factory):
+    ev, clicks, purchases = _click_purchase_frames(spark)
+    csrc = str(tmp_path_factory.mktemp("ij_clicks"))
+    psrc = str(tmp_path_factory.mktemp("ij_purch"))
+    clicks.coalesce(1).write.mode("overwrite").parquet(csrc)
+    purchases.coalesce(1).write.mode("overwrite").parquet(psrc)
+    cast = lambda df: df.withColumn("ts", df["ts"].cast("timestamp"))  # noqa: E731
+    cs = cast(spark.readStream.schema(clicks.schema).parquet(csrc))
+    ps = cast(spark.readStream.schema(purchases.schema).parquet(psrc))
+    out = streaming.interval_join(cs, ps, interval="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"], r["lag_us"])
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+    want = {
+        (r["click_id"], r["purchase_id"], r["lag_us"])
+        for r in streaming.interval_join(clicks, purchases, interval="1 hour").collect()
+    }
+    # inner interval joins emit matched pairs as both sides arrive; with
+    # an availableNow drain over complete inputs the result is exact
+    assert got == want and len(got) > 0
