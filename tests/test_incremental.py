@@ -231,3 +231,43 @@ def test_time_travel_over_generations(spark, split_batches, tmp_path_factory):
     vacuum(spark, out)
     assert verify(spark, full, decode(spark, out))["ok"]
     assert decode(spark, out, as_of_gen=g_base).count() == 0  # expired
+
+
+def test_append_with_nested_columns(spark, tmp_path_factory):
+    """Incremental append over a table with struct/array/map columns:
+    the append path must route the nested cells through the NESTED
+    codec exactly like base encode (including >2^53 ints in arrays)."""
+    out = str(tmp_path_factory.mktemp("nested_append"))
+    schema = (
+        "repo string, path string, commit string, content string, "
+        "meta struct<name:string,v:int>, xs array<bigint>, "
+        "counts map<string,bigint>"
+    )
+
+    def mk(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            rows.append(
+                (
+                    f"org/r{i % 2}", f"src/p{i % 10}.py", f"c{i:06d}",
+                    f"line{i}\nshared tail",
+                    {"name": f"a{i % 4}", "v": i if i % 5 else None},
+                    [i, 2**53 + i, None][: i % 4],
+                    {f"k{j}": (2**60 + i + j if j % 2 else None) for j in range(i % 3)},
+                )
+            )
+        return spark.createDataFrame(rows, schema)
+
+    base, extra = mk(0, 200), mk(200, 300)
+    m0 = encode(spark, base, out, target_rows=80)
+    assert all(r["status"] == "committed" for r in m0.collect())
+    m1 = encode_append(spark, extra, out, batch_id="nb1")
+    assert all(r["status"] == "committed" for r in m1.collect())
+
+    full = mk(0, 300)
+    decoded = decode(spark, out)
+    assert dict(decoded.dtypes) == dict(full.dtypes)
+    assert verify(spark, full, decoded)["ok"]
+    orig = {r["commit"]: tuple(r) for r in full.collect()}
+    got = {r["commit"]: tuple(r) for r in decoded.collect()}
+    assert orig == got
