@@ -271,3 +271,42 @@ def test_append_with_nested_columns(spark, tmp_path_factory):
     orig = {r["commit"]: tuple(r) for r in full.collect()}
     got = {r["commit"]: tuple(r) for r in decoded.collect()}
     assert orig == got
+
+
+def test_compact_and_selective_decode_nested(spark, tmp_path_factory):
+    """After a nested-column append: compaction folds the fragments
+    (re-encoding nested cells wholesale) and column-selective decode
+    prunes to a nested column without touching the others' blocks."""
+    out = str(tmp_path_factory.mktemp("nested_compact"))
+    schema = (
+        "repo string, path string, commit string, content string, "
+        "meta struct<name:string,v:int>, xs array<bigint>"
+    )
+
+    def mk(lo, hi):
+        rows = [
+            (
+                f"org/r{i % 2}", f"src/p{i % 8}.py", f"c{i:06d}",
+                f"v{i}\ncommon",
+                {"name": f"n{i % 3}", "v": None if i % 6 == 0 else i},
+                [2**53 + i] * (i % 3),
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    encode(spark, mk(0, 160), out, target_rows=60)
+    encode_append(spark, mk(160, 240), out, batch_id="nc1")
+    compact(spark, out)
+
+    full = mk(0, 240)
+    decoded = decode(spark, out)
+    assert {r["commit"]: tuple(r) for r in decoded.collect()} == {
+        r["commit"]: tuple(r) for r in full.collect()
+    }
+    # selective decode returns exactly the requested columns
+    sel = decode(spark, out, columns=["commit", "meta"])
+    assert sel.columns == ["commit", "meta"]
+    want = {r["commit"]: r["meta"] for r in full.collect()}
+    got = {r["commit"]: r["meta"] for r in sel.collect()}
+    assert got == want
