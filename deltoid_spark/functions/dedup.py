@@ -166,20 +166,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     LSH shingle pairs, embedding near-dup pairs (q27), or a
     user-supplied edge list.
 
-    Algorithm: iterative hash-min label propagation.  Every node starts
-    labelled with its own id; each round the label of every node drops
-    to the min label over itself and its neighbours.  Converges in
-    O(component diameter) rounds — near-dup clusters are dense (LSH
-    pairs approximate a clique), so diameters are tiny in practice.
-    Raises if ``max_iter`` rounds don't reach the fixpoint rather than
-    returning silently-unmerged labels; for adversarial graphs with
-    huge diameters, swap the propagation step for alternating
-    large-star/small-star (Kiveris et al.) — same join primitive,
-    O(log n) rounds.
+    Algorithm: hash-min label propagation WITH pointer jumping.  Every
+    node starts labelled with its own id; each round the label drops to
+    the min over (its own label, its neighbours' labels, its label's
+    label).  The neighbour step alone converges in O(diameter) rounds;
+    the pointer-jump term compresses label chains exponentially, so
+    even a path graph converges in O(log n) rounds — both steps only
+    ever take mins of in-component node ids, so the fixpoint is exactly
+    the min-id component labelling either way.  Raises if ``max_iter``
+    rounds don't reach the fixpoint rather than returning
+    silently-unmerged labels.
 
-    Scale notes: each round is one shuffle join (edges x labels, both
-    hash-partitioned on the node id) plus a map-side-combinable min
-    aggregate; no driver-side data beyond one scalar per round.
+    Scale notes: each round is two shuffle joins (edges x labels on the
+    node id, labels x labels on the label) plus a map-side-combinable
+    min aggregate; no driver-side data beyond one scalar per round.
     Convergence is detected with a single sum(label) aggregate — labels
     only ever decrease, so the sum is strictly monotone until fixpoint
     (cheaper than a changed-rows anti-join).  ``localCheckpoint``
@@ -201,8 +201,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         prop = edges.join(labels, edges.u == labels.node).select(
             F.col("v").alias("node"), "label"
         )
+        # pointer jump: node -> label(label(node)); label values are
+        # themselves node ids, so the self-join hits for every row
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
+        )
         labels = (
             labels.union(prop)
+            .union(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()

@@ -529,9 +529,21 @@ def test_connected_components_matches_union_find(spark):
 
 
 def test_connected_components_raises_when_not_converged(spark):
-    # a path graph of length 30 has diameter 30 > max_iter=3
+    # even with pointer jumping a 600-node path cannot finish in 2 rounds
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(600)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=3)
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    # pointer jumping: a 400-node path (diameter 400) converges in
+    # O(log n) rounds -- far below the hash-min-only bound
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.connected_components(pairs, max_iter=14).collect()}
+    assert len(out) == 401
+    assert all(v == (0, 401) for v in out.values())
