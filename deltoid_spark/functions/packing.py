@@ -91,6 +91,42 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    key: str = "doc_id",
+    default_permille: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus rebalancing /
+    temperature sampling): keep a row iff its md5 bucket — salted with
+    the stratum value so strata sample independently — falls under the
+    stratum's permille rate.
+
+    Content-stable like hash_split: no RNG, no row-order dependence,
+    pure JVM expressions, same keep-set on any cluster size.
+    """
+    for name, r in rates.items():
+        if not 0 <= r <= 1000:
+            raise ValueError(f"rate for {name!r} must be 0..1000 permille")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key).cast("string"), F.col(stratum_col))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    rate: Column = F.lit(default_permille)
+    for name, r in rates.items():
+        rate = F.when(F.col(stratum_col) == name, r).otherwise(rate)
+    return docs.filter(bucket < rate)
+
+
 def pack_stats(
     docs: DataFrame, budget: int = 4096, shard_size: int = 128
 ) -> DataFrame:

@@ -511,6 +511,34 @@ ORDER BY c.doc_id
 """
 
 
+def _q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample overrepresented languages with a
+    deterministic per-stratum md5 rate, then count what survives."""
+    kept = packing.stratified_sample(
+        load(spark, sf_dir, "documents"), rates={"en": 300, "de": 700}
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("tot_chars"))
+        .orderBy("lang")
+    )
+
+
+_Q40_ORACLE = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', lang)),
+                                  1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM documents),
+kept AS (
+  SELECT lang, n_chars FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 ELSE 1000 END)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def _q36_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (distinct-word mass,
     top word/bigram mass) per document."""
@@ -972,6 +1000,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q37_contamination": (_q37_contamination, _q37_oracle()),
     "q38_dedup_select": (_q38_dedup_select, _q38_oracle()),
     "q39_dup_text_mass": (_q39_dup_text_mass, _Q39_ORACLE),
+    "q40_stratified_sample": (_q40_stratified_sample, _Q40_ORACLE),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),

@@ -547,3 +547,19 @@ def test_connected_components_path_graph_log_rounds(spark):
            for r in dedup.connected_components(pairs, max_iter=14).collect()}
     assert len(out) == 401
     assert all(v == (0, 401) for v in out.values())
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = packing.stratified_sample(df, rates={"en": 250}, default_permille=1000)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in
+               packing.stratified_sample(df.repartition(7), rates={"en": 250}).collect())
+    assert a == b  # content-stable
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(_F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 2000            # default rate keeps everything
+    assert 400 < by_lang["en"] < 600        # ~25% of 2000
+    with pytest.raises(ValueError, match="permille"):
+        packing.stratified_sample(df, rates={"en": 1001})
