@@ -59,6 +59,9 @@ def asof_join(
     clash = set(prefix + c for c in payload) & set(left.columns)
     if clash:
         raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    reserved = {"__t", "__tag", "__m", "__r"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"reserved column names in inputs: {sorted(reserved)}")
 
     # Tag order decides tie behavior: with the right row sorting BEFORE
     # the left row at an equal timestamp, the window's running "last

@@ -154,3 +154,60 @@ def test_clustered_failure_isolation(spark, tiny_df, tmp_path_factory):
     decoded = _decode(spark, out)
     assert decoded.filter(F.col("repo") == "org0/repo0").count() == 0
     assert decoded.count() > 0
+
+
+def test_training_data_pipeline_journey(spark, tmp_path_factory):
+    """The full user journey over one corpus: encode it as a snapshot
+    store, decode it back bit-exact, then run the curation pipeline on
+    the decoded frame — near-dup clusters, canonical selection,
+    decontamination, packing, splits — asserting the stages compose
+    (every keeper is a clustered doc, packs cover every doc exactly
+    once, splits partition the corpus)."""
+    import pyspark.sql.functions as F
+
+    from deltoid_spark.functions import dedup, packing
+    from deltoid_spark.jobs import decode, encode, verify
+
+    out = str(tmp_path_factory.mktemp("journey"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("text", "content")
+    )
+    # snapshot-store leg: documents as a single-version code table
+    table = docs.select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", F.lit("doc"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("content"),
+    )
+    manifest = encode(spark, table, out, target_rows=200)
+    assert all(r["status"] == "committed" for r in manifest.collect())
+    decoded = decode(spark, out)
+    assert verify(spark, table, decoded)["ok"]
+
+    # curation leg over the DECODED corpus
+    corpus = decoded.select(
+        F.split(F.col("path"), "/")[1].cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+        "lang",
+        F.length("content").alias("n_chars"),
+    )
+    n = corpus.count()
+    clusters = dedup.dup_clusters(corpus)
+    keep = dedup.dedup_select(corpus)
+    clustered = {r["doc_id"] for r in clusters.collect()}
+    keepers = {r["keeper"] for r in keep.collect()}
+    assert keepers <= clustered  # every keeper is in some cluster
+
+    packs = packing.pack_stats(corpus, budget=2048)
+    assert sum(r["n_docs"] for r in packs.collect()) == n  # total coverage
+
+    splits = packing.hash_split(corpus)
+    by_split = {r["split"]: r["n"] for r in
+                splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n  # a partition of the corpus
+
+    bench_docs = corpus.filter(F.col("doc_id") % 10 == 0)
+    flags = dedup.contamination(corpus.filter(F.col("doc_id") % 10 != 0), bench_docs)
+    assert flags.count() == corpus.filter(F.col("doc_id") % 10 != 0).count()
