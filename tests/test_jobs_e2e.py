@@ -211,3 +211,64 @@ def test_training_data_pipeline_journey(spark, tmp_path_factory):
     bench_docs = corpus.filter(F.col("doc_id") % 10 == 0)
     flags = dedup.contamination(corpus.filter(F.col("doc_id") % 10 != 0), bench_docs)
     assert flags.count() == corpus.filter(F.col("doc_id") % 10 != 0).count()
+
+
+def test_cli_subcommands_end_to_end(tmp_path_factory):
+    """Drive every CLI subcommand through real argv parsing in one
+    subprocess (one JVM: the per-command spark.stop is deferred until
+    the end so the chain encode -> append -> compact -> metrics ->
+    vacuum -> decode -> verify runs at test speed)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    base = str(tmp_path_factory.mktemp("cli"))
+    script = f"""
+import json, os, sys
+sys.path.insert(0, {repr("/root/repo")})
+from deltoid_spark.fixtures import codegen
+import deltoid_spark.__main__ as cli
+
+base = {base!r}
+pdf = codegen.generate(800)
+half = len(pdf) // 2
+pdf.iloc[:half].to_parquet(os.path.join(base, "a.parquet"), index=False)
+pdf.iloc[half:].to_parquet(os.path.join(base, "b.parquet"), index=False)
+pdf.to_parquet(os.path.join(base, "full.parquet"), index=False)
+out = os.path.join(base, "state")
+
+# reuse one JVM across main() calls: defer the per-command stop
+from deltoid_spark import session as sess
+real_get = sess.get_spark
+shared = {{}}
+def get_once(**kw):
+    if "s" not in shared:
+        shared["s"] = real_get()
+        shared["stop"] = shared["s"].stop
+        shared["s"].stop = lambda: None
+    return shared["s"]
+sess.get_spark = get_once
+
+rc = 0
+rc |= cli.main(["encode", "--input", os.path.join(base, "a.parquet"), "--out", out,
+                "--target-rows", "300"])
+rc |= cli.main(["append", "--input", os.path.join(base, "b.parquet"), "--out", out])
+rc |= cli.main(["compact", "--out", out])
+rc |= cli.main(["metrics", "--out", out])
+rc |= cli.main(["vacuum", "--out", out])
+rc |= cli.main(["decode", "--out", out, "--dest", os.path.join(base, "dec.parquet")])
+rc |= cli.main(["verify", "--input", os.path.join(base, "full.parquet"), "--out", out])
+shared["stop"]()
+print("CLI_RC", rc)
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert "CLI_RC 0" in out_lines[-1], proc.stdout[-1000:]
+    # every command printed a JSON line
+    jsons = [ln for ln in out_lines if ln.startswith("{")]
+    assert len(jsons) >= 6
+    report = _json.loads(jsons[-1])
+    assert report["ok"] is True
