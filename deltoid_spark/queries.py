@@ -759,6 +759,48 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _q41_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components over the q27
+    cosine pair graph — the same clustering operator on a second pair
+    source (operator composability)."""
+    pairs = similarity.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+    return (
+        dedup.connected_components(
+            pairs.select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _q41_oracle() -> str:
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) >= 3000),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT g.v, r.label FROM reach r JOIN edges g ON g.u = r.node),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS vec_id, cc.cluster_id,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size
+FROM cc JOIN sizes USING (cluster_id)
+ORDER BY vec_id
+"""
+
+
 def _q19_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load(spark, sf_dir, "documents"), prefix_bits=12)
 
@@ -1001,6 +1043,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q38_dedup_select": (_q38_dedup_select, _q38_oracle()),
     "q39_dup_text_mass": (_q39_dup_text_mass, _Q39_ORACLE),
     "q40_stratified_sample": (_q40_stratified_sample, _Q40_ORACLE),
+    "q41_embedding_clusters": (_q41_embedding_clusters, _q41_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
     "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
     "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
