@@ -9,6 +9,8 @@ product so results are engine-portable bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -98,32 +100,131 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
+def hyperplane_coeffs(
+    dim: int, n_planes: int, seed: int = 42, plane_offset: int = 0
+) -> list[list[float]]:
+    """Driver-side materialization of the md5-derived plane matrix.
+
+    Identical values to :func:`plane_coeff` (and to the DuckDB oracle's
+    in-SQL md5 recompute) — hashlib md5 == SQL md5, and ``x / 10000.0``
+    is the same IEEE division in every engine.  Precomputing on the
+    driver turns 64 md5 calls *per row per plane* into literal arrays
+    shipped once inside the plan — the scale-correct shape for a
+    many-band bucket table.
+    """
+    return [
+        [
+            (
+                int(hashlib.md5(f"{d}_{p}_{seed}".encode()).hexdigest()[:8], 16)
+                % 20001
+                - 10000
+            )
+            / 10000.0
+            for d in range(dim)
+        ]
+        for p in range(plane_offset, plane_offset + n_planes)
+    ]
+
+
+def banded_hyperplane_buckets(
+    emb: DataFrame,
+    n_bands: int = 4,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, bucket): one sign-LSH bucket per band.
+
+    Band ``b`` uses planes ``b*n_planes .. (b+1)*n_planes - 1`` of the
+    same deterministic md5 plane family, so bands are independent and
+    any engine reproduces every bucket bit-for-bit.  Coefficients are
+    literal arrays (see :func:`hyperplane_coeffs`); the projection is
+    the same sequential ``aggregate`` fold as the oracle's
+    ``list_reduce``, so the sign bits match exactly.
+    """
+    if dim is None:
+        dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    v = F.col("embedding").cast("array<double>")
+    band_structs = []
+    for b in range(n_bands):
+        coeffs = hyperplane_coeffs(dim, n_planes, seed, plane_offset=b * n_planes)
+        bits = []
+        for p, cv in enumerate(coeffs):
+            carr = F.array(*[F.lit(c) for c in cv])
+            proj = F.aggregate(
+                F.zip_with(v, carr, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+        bucket = bits[0]
+        for x in bits[1:]:
+            bucket = bucket + x
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    return emb.select("vec_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold_x10000: int = 3000,
-    n_planes: int = 6,
+    n_bands: int = 4,
+    n_planes: int = 12,
     seed: int = 42,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: same-LSH-bucket self-join ->
-    exact cosine -> threshold.  Never all-pairs: candidates are bounded
-    by bucket collisions (the sign-LSH guarantee that high-cosine pairs
-    collide with high probability).  Threshold compares against the
-    x10000-rounded similarity so any engine reproduces the cut exactly.
+    """Embedding near-duplicate pairs via BANDED sign-LSH.
+
+    Candidate = same bucket in ANY of ``n_bands`` independent bucket
+    tables of ``n_planes`` sign bits each (recall via OR over bands,
+    exactly the MinHash-LSH banding trick in dedup.py) -> distinct pair
+    ids -> fetch both vectors by join -> exact cosine -> threshold on
+    the x10000-rounded value so any engine reproduces the cut.
+
+    Scale shape: a single P-plane table makes the self-join
+    O(N^2 / 2^P) with recall decaying in P — banding decouples the two
+    (candidates ~ B * N^2 / 2^P with P large, recall restored by the
+    OR).  ``bucket_cap`` guards the degenerate mega-bucket (e.g. a
+    corpus of zero vectors): any (band, bucket) holding more than
+    ``cap`` vectors is excluded from pairing, bounding per-bucket join
+    cost at cap^2/2; the excluded set is at most N/cap buckets, so the
+    anti-join side stays broadcast-small.  Pair ids are deduped BEFORE
+    the vectors are fetched, so each surviving pair's cosine is
+    computed once and embeddings are never carried through the bucket
+    explosion.
     """
-    b = random_hyperplane_buckets(emb, n_planes, seed)
-    a = b.select(
+    bb = banded_hyperplane_buckets(emb, n_bands, n_planes, seed)
+    if bucket_cap is not None:
+        bad = (
+            bb.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        bb = bb.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
+    a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    c = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").cast("array<double>").alias("ea"),
-        "bucket",
     )
-    c = b.select(
+    ec = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").cast("array<double>").alias("eb"),
-        F.col("bucket").alias("bucket_b"),
     )
     sim = F.round(cosine(F.col("ea"), F.col("eb")) * 10000).cast("long")
     return (
-        a.join(c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        cand.join(ea, "vec_a")
+        .join(ec, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cos_x10000"))
         .filter(F.col("cos_x10000") >= threshold_x10000)
         .orderBy("vec_a", "vec_b")

@@ -747,15 +747,11 @@ def _q27_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q27_oracle() -> str:
-    """Embedding near-dup pairs: same buckets, exact cosine, same cut."""
+    """Embedding near-dup pairs: same banded buckets, same mega-bucket
+    guard, exact cosine, same cut."""
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) AS cos_x10000
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) >= 3000
-ORDER BY vec_a, vec_b
+{_embed_pair_ctes()}
+SELECT vec_a, vec_b, cos_x10000 FROM npairs ORDER BY vec_a, vec_b
 """
 
 
@@ -778,13 +774,10 @@ def _q41_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q41_oracle() -> str:
+    ctes = _embed_pair_ctes().replace("WITH e AS", "WITH RECURSIVE e AS", 1)
     return f"""
-WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e),
-pairs AS (
-  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE CAST(ROUND(list_cosine_similarity(a.v, c.v) * 10000) AS BIGINT) >= 3000),
+{ctes},
+pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM npairs),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs),
@@ -890,12 +883,15 @@ LIMIT {k}
 """
 
 
-def _bucket_sql(n_planes: int = 6, seed: int = 42) -> str:
+def _bucket_sql(n_planes: int = 6, seed: int = 42, plane_offset: int = 0) -> str:
     """DuckDB expression for the sign-LSH bucket of DOUBLE[] column v.
 
     Projections fold sequentially (list_reduce after an index-ordered
     list_transform) exactly like Spark's aggregate() fold, so the sign
-    bits — and hence the bucket — are bit-identical."""
+    bits — and hence the bucket — are bit-identical.  ``plane_offset``
+    selects a band's slice of the global md5 plane family (the Spark
+    side ships the same values as literal arrays, see
+    similarity.hyperplane_coeffs)."""
 
     def coeff(p: int) -> str:
         return (
@@ -905,9 +901,47 @@ def _bucket_sql(n_planes: int = 6, seed: int = 42) -> str:
 
     return " + ".join(
         f"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), "
-        f"j -> v[j] * {coeff(p)}), (a, x) -> a + x) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+        f"j -> v[j] * {coeff(p)}), (a, x) -> a + x) >= 0 THEN {1 << (p - plane_offset)} ELSE 0 END)"
+        for p in range(plane_offset, plane_offset + n_planes)
     )
+
+
+def _embed_pair_ctes(
+    threshold_x10000: int = 3000,
+    n_bands: int = 4,
+    n_planes: int = 12,
+    seed: int = 42,
+    bucket_cap: int = 1000,
+) -> str:
+    """Shared DuckDB CTE chain mirroring
+    similarity.cosine_near_dup_pairs: banded sign-LSH buckets ->
+    mega-bucket guard -> distinct candidate pairs -> exact cosine ->
+    threshold.  Ends at CTE ``npairs`` (vec_a, vec_b, cos_x10000)."""
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"CAST({_bucket_sql(n_planes, seed, plane_offset=b * n_planes)} AS BIGINT) AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bb AS (
+  {band_selects}),
+bad AS (
+  SELECT band, bucket FROM bb GROUP BY band, bucket HAVING COUNT(*) > {bucket_cap}),
+obb AS (
+  SELECT * FROM bb b
+  WHERE NOT EXISTS (SELECT 1 FROM bad d WHERE d.band = b.band AND d.bucket = b.bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM obb a JOIN obb b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id),
+npairs AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(ROUND(list_cosine_similarity(ea.v, eb.v) * 10000) AS BIGINT) AS cos_x10000
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+  WHERE CAST(ROUND(list_cosine_similarity(ea.v, eb.v) * 10000) AS BIGINT) >= {threshold_x10000})"""
 
 
 def _q20_oracle(n_planes: int = 6, seed: int = 42) -> str:

@@ -76,6 +76,53 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in res)
 
 
+def test_banded_near_dup_recall_on_planted_dups(spark):
+    """Recall check for the banded sign-LSH (q27's operator), the analog
+    of q20's recall test: plant jittered near-copies (cos >= ~0.99) in a
+    background of random vectors and require the banded candidate
+    filter to recover >= 90% of the true high-cosine pairs while
+    scanning far fewer than all pairs."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 32)).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(120)]
+    true_pairs = set()
+    for j in range(30):  # 30 planted near-dups of the first 30 vectors
+        dup = base[j] + 0.02 * rng.normal(size=32)
+        rows.append((120 + j, [float(x) for x in dup], 0))
+        true_pairs.add((j, 120 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    bf = similarity.brute_force_topk  # noqa: F841  (exactness anchored elsewhere)
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dup_pairs(emb, threshold_x10000=9500).collect()
+    }
+    recovered = got & true_pairs
+    assert len(recovered) / len(true_pairs) >= 0.9, sorted(true_pairs - got)
+    # never all-pairs: the candidate set the join scanned is a small
+    # fraction of the 150*149/2 possible pairs
+    n_cand = (
+        similarity.banded_hyperplane_buckets(emb)
+        .groupBy("band", "bucket")
+        .count()
+        .selectExpr("sum(count * (count - 1) / 2) AS c")
+        .first()["c"]
+    )
+    assert n_cand < 150 * 149 / 2 * 0.25
+
+
+def test_near_dup_bucket_cap_guards_mega_buckets(spark):
+    """A degenerate corpus (all-identical vectors) lands in one bucket
+    per band; the cap excludes those mega-buckets instead of exploding
+    into the O(N^2) self-join."""
+    rows = [(i, [1.0] * 8 + [0.0] * 8, 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    capped = similarity.cosine_near_dup_pairs(emb, bucket_cap=10).collect()
+    assert capped == []
+    uncapped = similarity.cosine_near_dup_pairs(emb, bucket_cap=None).collect()
+    assert len(uncapped) == 40 * 39 / 2
+
+
 def test_media_features_real_decode(spark):
     media = multimodal.synthesize_media(spark, n=12)
     feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
