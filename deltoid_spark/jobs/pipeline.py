@@ -1026,6 +1026,8 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
 def _from_storage(s: pd.Series, ddl: str) -> pd.Series:
     """Cast a decoded storage series back to the column's pandas shape."""
     if ddl == "string" or ddl.startswith(("map<", "array<", "struct<")):
+        if isinstance(s.dtype, pd.ArrowDtype):
+            return s  # Arrow-backed column: crosses the boundary as-is
         return s.astype(object) if len(s) else pd.Series([], dtype=object)
     if ddl in ("float", "double"):
         return s  # FP codec already yields Float32/Float64 nullable
@@ -1092,17 +1094,30 @@ def _decode_fragments(
             gsizes = _group_sizes(keys)
             starts = _group_starts(gsizes)
             gkeys = keys.to_numpy(dtype=object)[starts] if len(starts) else []
-            content = api.decode_block(
-                bufs[content_col], base_texts=[tails.get(k) for k in gkeys]
-            )
-            fr[content_col] = _from_storage(content, "string")
-            # update threaded tails: last version per key group
-            if len(keys):
-                last = pd.DataFrame({"k": keys, "c": fr[content_col]}).drop_duplicates(
-                    "k", keep="last"
+            # Arrow-native content: the chain kernel returns a
+            # LargeStringArray and the column rides to the applyInPandas
+            # boundary as an Arrow-backed pandas column — Python strings
+            # are materialized only for the per-group tails (chain seeds)
+            seeds = [tails.get(k) for k in gkeys]
+            try:
+                content_arr = api.decode_block_arrow(
+                    bufs[content_col], base_texts=seeds
+                ).cast(pa.string())
+            except ValueError:  # codec without an arrow path (dict/rle/...)
+                content_arr = pa.Array.from_pandas(
+                    api.decode_block(bufs[content_col], base_texts=seeds),
+                    type=pa.string(),
                 )
-                tails.update(zip(last["k"], last["c"]))
-                for k, c in keys.value_counts().items():
+            fr[content_col] = pd.Series(
+                pd.arrays.ArrowExtensionArray(content_arr), dtype=pd.ArrowDtype(pa.string())
+            )
+            # update threaded tails: last version per key group (keys are
+            # group-contiguous, so group ends == per-key last rows)
+            if len(keys):
+                ends = starts + gsizes - 1
+                tail_vals = content_arr.take(pa.array(ends, type=pa.int64())).to_pylist()
+                tails.update(zip(gkeys, tail_vals))
+                for k, c in zip(gkeys, gsizes):
                     tail_counts[k] = tail_counts.get(k, 0) + int(c)
         frames.append(pd.DataFrame({n: fr[n] for n in names}))
     if not frames:
@@ -1155,7 +1170,18 @@ def make_decode_kernel(
             # chains still replay fully (keyframe-bounded), but only the
             # requested version per key crosses the Python->JVM boundary
             out = _version_select(out, key_cols, latest_only, at_version)
-        return out.reset_index(drop=True)[names]
+        out = out.reset_index(drop=True)[names]
+        # Spark's serializer struct-packs plain Arrays; pd.concat across
+        # fragments leaves Arrow-backed columns chunked -> combine once
+        for c in out.columns:
+            if isinstance(out[c].dtype, pd.ArrowDtype):
+                ca = out[c].array.__arrow_array__()
+                if isinstance(ca, pa.ChunkedArray):
+                    out[c] = pd.Series(
+                        pd.arrays.ArrowExtensionArray(ca.combine_chunks()),
+                        dtype=out[c].dtype,
+                    )
+        return out
 
     return decode_partition
 

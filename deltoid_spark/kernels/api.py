@@ -67,6 +67,26 @@ def decode_block(buf: bytes, **kw) -> pd.Series:
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def decode_block_arrow(buf: bytes, **kw):
+    """Arrow-native decode for codecs with a zero-object path (chain,
+    plain): returns a LargeStringArray (nulls in the validity bitmap)
+    that crosses the Spark boundary without materializing Python
+    strings.  Other codecs raise — callers fall back to decode_block.
+    """
+    codec, meta, payload = blocks.unframe(buf)
+    if codec == "chain":
+        return chain.decode_chain_arrow(meta, payload, **kw)
+    if codec == "plain":  # kw (chain base_texts) is a no-op for plain
+        arr, mask = strings.decode_plain_arrow(meta, payload)
+        if mask is not None and mask.any():
+            import pyarrow as pa
+
+            idx = np.arange(len(arr), dtype=np.int64)
+            return arr.take(pa.array(idx, mask=mask))
+        return arr
+    raise ValueError(f"no arrow decode path for codec {codec!r}")
+
+
 def block_codec(buf: bytes) -> str:
     codec, _, _ = blocks.unframe(buf)
     return codec

@@ -18,6 +18,8 @@ Reference bases:
 
 from __future__ import annotations
 
+import binascii
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -227,10 +229,13 @@ def hex_eligible(series: pd.Series) -> bool:
 
 def encode_hex(series: pd.Series) -> bytes:
     mask, vals = _prep(series)
-    joined = "".join(vals.tolist())
-    packed = bytes.fromhex(joined)  # single C call
+    # hex is ascii, so the Arrow byte view IS the char view: lengths and
+    # concatenated digits come straight off the (offsets, data) buffers —
+    # no python-string materialization (unhexlify accepts bytes)
+    lengths, data = utf8_view(vals)
+    packed = binascii.unhexlify(data)  # single C call
     comp = blocks.compress(packed)  # structured hex (shared prefixes) compresses further
-    half = (vals.str.len().to_numpy(dtype=np.int64) // 2) if len(vals) else np.zeros(0, np.int64)
+    half = lengths // 2
     lmeta, lpay = pack_ints(half)
     meta = {"n": len(series), "lens": lmeta, "lplen": len(lpay), "raw": len(packed)}
     mb = _mask_meta(meta, mask)
