@@ -616,9 +616,17 @@ def encode(
     order_cols: tuple[str, ...] | None = None,
     content_col: str | None = "auto",
     level: int | None = None,
+    origin: str | None = None,
+    message: str | None = None,
     _fail_inject: str | None = None,
 ) -> DataFrame:
     """Run J1; returns the manifest head (latest gen per part_id).
+
+    origin / message are caller-supplied commit metadata recorded on the
+    run's manifest rows and surfaced by ``history()`` — the reference's
+    ``DeltaSnapshot { timestamp, origin, msg }`` surface
+    (/root/reference/deltoid/src/snapshot/full.rs:164-170); the
+    timestamp analog is the time-derived ``gen``.
 
     mode="grouped" (default): one shuffle co-locates each part_id, so
     every key-group chain is delta-encoded whole, and resume works at
@@ -690,7 +698,9 @@ def encode(
     # manifest rows for THIS run only (from the tiny written blocks
     # table: one metadata-sized scan, no re-encode), appended with a new
     # generation — readers resolve each part to its latest gen
-    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "replace")
+    _manifest_rows_for_run(
+        spark, out_dir, run_id, gen, spec, "replace", origin=origin, message=message
+    )
     return _manifest_active(spark, manifest_path)
 
 
@@ -795,6 +805,7 @@ def _exists(spark: SparkSession, path: str) -> bool:
 def _manifest_rows_for_run(
     spark: SparkSession, out_dir: str, run_id: str, gen: int,
     spec: list[tuple[str, str]], kind: str, batch_id: str | None = None,
+    origin: str | None = None, message: str | None = None,
 ) -> None:
     """Aggregate this run's written blocks into manifest rows (append)."""
     written = (
@@ -834,6 +845,8 @@ def _manifest_rows_for_run(
         F.lit(gen).alias("gen"),
         F.lit(kind).alias("kind"),
         F.lit(batch_id).cast("string").alias("batch_id"),
+        F.lit(origin).cast("string").alias("origin"),
+        F.lit(message).cast("string").alias("msg"),
     )
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
 
@@ -901,9 +914,14 @@ def encode_append(
     keyframe_interval: int = 32,
     level: int | None = None,
     batch_id: str | None = None,
+    origin: str | None = None,
+    message: str | None = None,
     _fail_inject: str | None = None,
 ) -> DataFrame:
     """Incrementally encode a new batch into existing state (A18).
+
+    origin / message: commit metadata on the manifest rows (see
+    ``encode``), shown by ``history()``.
 
     New rows join their partitions via the persisted partition map;
     each touched partition's existing blocks cogroup with the new rows
@@ -977,11 +995,19 @@ def encode_append(
         .applyInArrow(kernel, BLOCK_SCHEMA)
     )
     _write_blocks(new_blocks, os.path.join(out_dir, "blocks"))
-    _manifest_rows_for_run(spark, out_dir, run_id, gen, spec, "append", batch_id)
+    _manifest_rows_for_run(
+        spark, out_dir, run_id, gen, spec, "append", batch_id,
+        origin=origin, message=message,
+    )
     return _manifest_active(spark, os.path.join(out_dir, "manifest"))
 
 
-def compact(spark: SparkSession, out_dir: str) -> DataFrame:
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    origin: str | None = None,
+    message: str | None = None,
+) -> DataFrame:
     """Re-encode partitions that have accumulated append fragments into a
     single fresh fragment (A17: the codec selector re-runs over the full
     partition, so a drifted column switches codec wholesale — the
@@ -1016,7 +1042,10 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
     )
     blocks = rows.groupBy("part_id").applyInArrow(kernel, BLOCK_SCHEMA)
     _write_blocks(blocks, os.path.join(out_dir, "blocks"))
-    _manifest_rows_for_run(spark, out_dir, run_id, gen, info["spec"], "replace")
+    _manifest_rows_for_run(
+        spark, out_dir, run_id, gen, info["spec"], "replace",
+        origin=origin, message=message or "compact",
+    )
     return _manifest_active(spark, manifest_path)
 
 
@@ -1209,10 +1238,19 @@ def history(spark: SparkSession, out_dir: str) -> DataFrame:
     newest last — the snapshot-history surface (reference
     ``SnapshotCtx::history``, snapshot/mod.rs:11-29; Iceberg-style
     table history over the append-only manifest).  ``gen`` values feed
-    ``decode(as_of_gen=...)`` time travel."""
-    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    ``decode(as_of_gen=...)`` time travel.
+
+    Rows carry the caller-supplied commit metadata (``origin``/``msg``,
+    reference snapshot/full.rs:164-170); tables written before that
+    metadata existed read as nulls (mergeSchema)."""
+    m = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "manifest")
+    )
+    for c in ("origin", "msg"):
+        if c not in m.columns:
+            m = m.withColumn(c, F.lit(None).cast("string"))
     return (
-        m.groupBy("run_id", "gen", "kind", "batch_id")
+        m.groupBy("run_id", "gen", "kind", "batch_id", "origin", "msg")
         .agg(
             F.count("*").alias("partitions"),
             F.sum("n_rows").alias("n_rows"),

@@ -971,6 +971,47 @@ def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("part_id")
 
 
+# q21's output is fully deterministic: fixed-seed fixture (codegen seed
+# 20240901), byte-identical encode across parallelism levels, and
+# deterministic partition assignment — so a stored-golden VALUES oracle
+# is a true value check (the engine re-derives every cell; only
+# wall-clock-bearing outputs like q22's remain rows-only).  Golden rows
+# re-derived 2026-08-17; any codec-selector or framing change that
+# moves a byte legitimately must update them (the golden-sha kernel
+# tests pin the same property at block level).
+_Q21_GOLDEN = [
+    (0, 498, 1411954, 66250,
+     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+     "committed"),
+    (1, 502, 940375, 57914,
+     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+     "committed"),
+    (2, 600, 1114682, 75652,
+     '{"repo":"rle","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+     "committed"),
+    (3, 176, 336888, 31402,
+     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"chain"}',
+     "committed"),
+    (4, 229, 590709, 40705,
+     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"chain"}',
+     "committed"),
+]
+
+
+def _q21_oracle() -> str:
+    rows = ",\n  ".join(
+        f"({p}, {n}, {r}, {e}, '{c}', '{s}')" for p, n, r, e, c, s in _Q21_GOLDEN
+    )
+    return f"""
+SELECT CAST(part_id AS BIGINT) AS part_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(raw_bytes AS BIGINT) AS raw_bytes, CAST(enc_bytes AS BIGINT) AS enc_bytes,
+       codecs, status
+FROM (VALUES
+  {rows}) AS t(part_id, n_rows, raw_bytes, enc_bytes, codecs, status)
+ORDER BY part_id
+"""
+
+
 def _q22_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 -> J2 -> J3: single-row parity report (the round-trip law)."""
     from .fixtures import codegen
@@ -1091,10 +1132,10 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
     "q23_media_features": (_q23_media_features, _q23_oracle()),
     "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
+    "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
 }
 
 _SPARK_ONLY: dict[str, Callable] = {
-    "q21_encode_metrics": _q21_encode_metrics,
     "q22_roundtrip_parity": _q22_roundtrip_parity,
 }
 

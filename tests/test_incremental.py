@@ -233,6 +233,32 @@ def test_time_travel_over_generations(spark, split_batches, tmp_path_factory):
     assert decode(spark, out, as_of_gen=g_base).count() == 0  # expired
 
 
+def test_history_carries_origin_and_message(spark, split_batches, tmp_path_factory):
+    """Caller-supplied commit metadata (origin/msg — the reference
+    DeltaSnapshot {timestamp, origin, msg} surface, snapshot/full.rs:
+    164-170) rides the manifest rows and surfaces on history(); runs
+    without metadata read as nulls, and time travel is unaffected."""
+    from deltoid_spark.jobs import history
+
+    pdf, a, b = split_batches
+    out = str(tmp_path_factory.mktemp("histmeta"))
+    encode(
+        spark, spark.createDataFrame(a), out, target_rows=500,
+        origin="ingest-job", message="base load",
+    )
+    encode_append(spark, spark.createDataFrame(b), out)  # no metadata
+    compact(spark, out, origin="maintenance")
+
+    hist = history(spark, out).collect()
+    assert [(r["kind"], r["origin"], r["msg"]) for r in hist] == [
+        ("replace", "ingest-job", "base load"),
+        ("append", None, None),
+        ("replace", "maintenance", "compact"),
+    ]
+    # metadata is bookkeeping only: the table content is unchanged
+    assert verify(spark, spark.createDataFrame(pdf), decode(spark, out))["ok"]
+
+
 def test_append_with_nested_columns(spark, tmp_path_factory):
     """Incremental append over a table with struct/array/map columns:
     the append path must route the nested cells through the NESTED
