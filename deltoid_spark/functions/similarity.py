@@ -341,6 +341,114 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's iterations for the IVF coarse quantizer.
+
+    Fixed init (the ``n_lists`` lowest vec_ids, relabelled 0..n-1),
+    fixed iteration count, cosine assignment via the same literal-
+    centroid argmax ``ivf_topk`` uses (zero shuffle), and — the key to
+    cross-engine bit-exactness — centroid updates in INTEGER space:
+    components are scaled to ``round(x * scale)`` longs, summed (exact,
+    order-independent, unlike float sums), floor-divided by the count
+    and rescaled.  Any engine (the DuckDB oracle mirrors the same
+    iterations) reproduces every centroid bit-for-bit, so the trained
+    index is oracle-checkable end to end.
+
+    Scale shape: assignment is a map-side projection; the update is one
+    map-side-combinable (list_id, dim) aggregate whose result (n_lists
+    x dim rows) collects to the driver each iteration — O(iters *
+    n_lists * dim) driver traffic, never row data.  Empty lists keep
+    their previous centroid.
+    """
+    cents = [
+        (i, list(r["cv"]))
+        for i, r in enumerate(
+            emb.orderBy("vec_id")
+            .limit(n_lists)
+            .select(F.col("embedding").cast("array<double>").alias("cv"))
+            .collect()
+        )
+    ]
+    for _ in range(iters):
+        assigned = emb.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            _list_id_expr(cents).alias("list_id"),
+        )
+        ex = assigned.select(
+            "list_id", F.posexplode("v").alias("j", "x")
+        ).groupBy("list_id", "j").agg(
+            F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        by = {(int(r["list_id"]), int(r["j"])): (int(r["s"]), int(r["n"])) for r in ex.collect()}
+        cents = [
+            (
+                cid,
+                [
+                    (by[(cid, j)][0] // by[(cid, j)][1]) / scale
+                    for j in range(len(cv))
+                ]
+                if (cid, 0) in by
+                else cv,
+            )
+            for cid, cv in cents
+        ]
+    return cents
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k over TRAINED centroids (deterministic k-means):
+    the real index build — same inverted-list/probe plan as ivf_topk,
+    with the quantizer fit to the data instead of picked from it."""
+    cents = kmeans_centroids(emb, n_lists, iters)
+    qv = list(
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = na = nb = 0.0  # same sequential fold order as the SQL sides
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (na**0.5 * nb**0.5)
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            ((cid, cos_py(cv, qv)) for cid, cv in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.withColumn("list_id", _list_id_expr(cents))
+        .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding").cast("array<double>"), qarr), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -883,6 +883,78 @@ LIMIT {k}
 """
 
 
+def _q42_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk_trained(
+        load(spark, sf_dir, "embeddings"), query_vec_id=1, k=10,
+        n_lists=8, nprobe=2, iters=2,
+    )
+
+
+def _q42_oracle(
+    qid: int = 1, k: int = 10, n_lists: int = 8, nprobe: int = 2,
+    iters: int = 2, scale: int = 1_000_000,
+) -> str:
+    """Trained-IVF oracle: the SAME deterministic Lloyd's iterations
+    unrolled as CTE chains.  Assignment argmax mirrors _list_id_expr
+    (cos desc, cid asc; sequential folds); the centroid update is the
+    same integer arithmetic (exact scaled-long sums, floor division) so
+    every centroid — and hence every list and probe — is bit-identical
+    to similarity.kmeans_centroids."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM e ORDER BY vec_id LIMIT {n_lists})",
+        "dims AS (SELECT unnest(generate_series(1, (SELECT len(v) FROM e LIMIT 1))) AS j)",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"s{it} AS (SELECT e.vec_id, e.v, c.cid, "
+            f"{_cos_fold_sql('e.v', 'c.cv')} AS cs FROM e, {prev} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, v, cid AS list_id FROM "
+            f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn "
+            f"FROM s{it}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT list_id, j, "
+            f"SUM(CAST(ROUND(v[j] * {scale}) AS BIGINT)) AS s, COUNT(*) AS n "
+            f"FROM a{it}, dims GROUP BY list_id, j)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT {prev}.cid, COALESCE(u.cv, {prev}.cv) AS cv "
+            f"FROM {prev} LEFT JOIN "
+            f"(SELECT list_id AS cid, "
+            f"list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) / {scale}.0 ORDER BY j) AS cv "
+            f"FROM m{it} GROUP BY list_id) u USING (cid))"
+        )
+    fin = f"c{iters}"
+    ctes.append(
+        f"sf AS (SELECT e.vec_id, e.v, c.cid, "
+        f"{_cos_fold_sql('e.v', 'c.cv')} AS cs FROM e, {fin} c)"
+    )
+    ctes.append(
+        "af AS (SELECT vec_id, v, cid AS list_id FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn "
+        "FROM sf) WHERE rn = 1)"
+    )
+    ctes.append(f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid})")
+    ctes.append(
+        f"probes AS (SELECT cid FROM {fin} c, q "
+        f"ORDER BY {_cos_fold_sql('c.cv', 'q.qv')} DESC, cid LIMIT {nprobe})"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT a.vec_id, ROUND({_cos_fold_sql('a.v', 'q.qv')}, 4) AS cos_sim
+FROM af a, q
+WHERE a.list_id IN (SELECT cid FROM probes) AND a.vec_id <> {qid}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {k}
+"""
+
+
 def _bucket_sql(n_planes: int = 6, seed: int = 42, plane_offset: int = 0) -> str:
     """DuckDB expression for the sign-LSH bucket of DOUBLE[] column v.
 
@@ -1132,6 +1204,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
     "q23_media_features": (_q23_media_features, _q23_oracle()),
     "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
+    "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
     "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
 }
 

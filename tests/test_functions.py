@@ -123,6 +123,52 @@ def test_near_dup_bucket_cap_guards_mega_buckets(spark):
     assert len(uncapped) == 40 * 39 / 2
 
 
+def test_kmeans_centroids_match_numpy_mirror(spark):
+    """The deterministic Lloyd's trainer must reproduce a pure-numpy
+    mirror of the same spec exactly (cosine argmax with (cos desc, cid
+    asc) tie-break; integer scaled-sum / floor-div updates) — the same
+    bit-exactness contract the q42 DuckDB oracle relies on."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb, n_lists=4, iters=2)
+
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = V[:4].copy()
+    for _ in range(2):
+        cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = vn @ cn.T
+        assign = np.argmax(np.round(cos, 12), axis=1)  # ties: lowest cid (argmax first)
+        newC = []
+        for cid in range(4):
+            sel = V[assign == cid]
+            if len(sel):
+                s = np.round(sel * 1_000_000).astype(np.int64).sum(axis=0)
+                newC.append(np.floor_divide(s, len(sel)) / 1_000_000)
+            else:
+                newC.append(C[cid])
+        C = np.array(newC)
+    got = np.array([cv for _cid, cv in cents])
+    assert np.allclose(got, C, atol=2e-6), np.abs(got - C).max()
+
+    # determinism: a second run returns the identical centroids
+    again = similarity.kmeans_centroids(emb, n_lists=4, iters=2)
+    assert cents == again
+
+
+def test_ivf_trained_probe_quality(spark):
+    """Trained IVF with full probing degenerates to the exact scan, and
+    the partial probe keeps a real share of the true top-k (the q29
+    property, now over trained centroids)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = similarity.brute_force_topk(emb, query_vec_id=1, k=10).collect()
+    full = similarity.ivf_topk_trained(emb, 1, k=10, n_lists=4, nprobe=4, iters=1).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in bf]
+    probed = similarity.ivf_topk_trained(emb, 1, k=10, n_lists=8, nprobe=2, iters=2).collect()
+    hits = {r["vec_id"] for r in probed} & {r["vec_id"] for r in bf}
+    assert len(hits) >= 5, sorted(hits)
+
+
 def test_media_features_real_decode(spark):
     media = multimodal.synthesize_media(spark, n=12)
     feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
