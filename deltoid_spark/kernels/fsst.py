@@ -8,18 +8,24 @@ codes; bytes outside the table are escaped as ``0xFF <literal>``.
 
 Train: substring frequency counting over a bounded sample (gain =
 (len-1) * freq), multi-byte symbols first, then frequent single bytes
-to keep escapes rare.  Encode: one capturing-split regex pass over the
-multi-byte symbols (longest-first alternation = greedy longest match),
-single-byte symbols via ``bytes.translate`` — no per-match Python loop
-body.  Decode: fully vectorized variable-length gather (numpy),
+to keep escapes rare.  Encode (round 4): one capturing TRIE-regex
+split over the multi-byte symbols (prefix-factored alternation,
+byte-identical to longest-first matching), then ALL gaps encode as one
+concatenated buffer in a single vectorized pass and the output stream
+assembles via one numpy scatter — zero per-gap / per-match loop
+bodies.  Decode: fully vectorized variable-length gather (numpy),
 escapes resolved via a split-walk.
 
-Measured on a path-like 7 MB column block (this host, round 3):
-encode 8.7 MB/s (round 2 finditer loop: 5.9), decode 7.2 MB/s (was
-4.6), identical output bytes.  FSST is only shortlisted for short-
-string columns (selector: avg_len <= 512) whose blocks are ~hundreds
-of KB, so the kernel costs ~25 ms/block where it wins at all;
-PLAIN+zstd takes the long tail.
+Measured on the fixture's 0.5 MB path block (this host, round 4):
+encode 11.1 MB/s (round 3: 0.7 on the same symbol-dense block — the
+per-gap dispatch, not the regex, was the bound), decode 72 MB/s;
+output bytes identical to round 3.  Remaining cost splits ~1/3
+re.split, ~2/3 per-part length/code iteration; both scale linearly.
+FSST is shortlisted only where it can win (avg_len <= 512, entropy
+< 6.5, not hex, distinct_ratio > 0.05 — measured: DICT/RLE always
+beat it on massively repetitive columns), and the selector's
+two-point trial fit rejects it per-block elsewhere, so the kernel
+cost lands only on blocks where FSST actually pays.
 """
 
 from __future__ import annotations
@@ -113,43 +119,109 @@ def _encode_gap_escaped(gap: bytes, lut: np.ndarray, known: np.ndarray) -> bytes
     return out.tobytes()
 
 
-def compress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
-    """Greedy encode without a per-match Python loop body.
+def _trie_pattern(symbols: list[bytes]) -> re.Pattern:
+    """Trie-structured alternation over the multi-byte symbols.
 
-    One capturing ``re.split`` over the MULTI-byte symbols yields
-    [gap, match, gap, match, ...] in a single C pass; matched symbols
-    map to code bytes via a dict getitem map, and the gaps — runs of
-    bytes between multi-byte matches — encode through
-    ``bytes.translate`` (one C call per gap) when every gap byte is a
-    known single-byte symbol (the trained common case), falling back to
-    a vectorized numpy escape interleave otherwise.  Single-byte
-    symbols never enter the regex at all, which is the throughput win:
-    the round-2 version alternated all 255 symbols and paid the match
-    loop per input byte.
+    Python's re tries alternatives left to right with no prefix
+    factoring, so a flat longest-first alternation re-compares shared
+    prefixes at every position.  The trie factors them once; ordering
+    child branches before each node's end-marker ``?`` preserves
+    longest-match preference, so the split is byte-identical to the
+    flat pattern (~3x faster on symbol-dense data)."""
+    trie: dict = {}
+    for s in symbols:
+        node = trie
+        for b in s:
+            node = node.setdefault(b, {})
+        node[None] = True
+    def emit(node: dict) -> bytes:
+        alts = [
+            re.escape(bytes([b])) + emit(child)
+            for b, child in sorted((k, v) for k, v in node.items() if k is not None)
+        ]
+        if not alts:
+            return b""
+        body = b"|".join(alts)
+        end = None in node
+        if len(alts) > 1 or end:
+            body = b"(?:" + body + b")"
+        if end:
+            body += b"?"  # extensions first -> greedy longest match
+        return body
+    return re.compile(b"(" + emit(trie) + b")")
+
+
+def _encode_bytes_flat(
+    buf: bytes, tbl: bytes, lut: np.ndarray, known: np.ndarray
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Encode a byte run against the single-byte table in ONE pass.
+
+    Returns (encoded uint8 array, per-input-byte output widths or None
+    when every byte is a known single — the trained common case, which
+    collapses to one ``bytes.translate``)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    k = known[arr] if len(arr) else np.zeros(0, dtype=bool)
+    if k.all():
+        return np.frombuffer(buf.translate(tbl), dtype=np.uint8), None
+    widths = np.where(k, np.int64(1), np.int64(2))
+    starts = np.cumsum(widths) - widths
+    out = np.empty(int(widths.sum()), dtype=np.uint8)
+    out[starts[k]] = lut[arr[k]]
+    nk = ~k
+    out[starts[nk]] = ESCAPE
+    out[starts[nk] + 1] = arr[nk]
+    return out, widths
+
+
+def compress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
+    """Greedy encode with zero per-gap / per-match Python loop bodies.
+
+    One capturing trie-regex split over the MULTI-byte symbols yields
+    [gap, match, gap, ...] in a single C pass.  ALL gaps then encode as
+    one concatenated buffer through a single vectorized pass
+    (translate when every gap byte is a known single-byte symbol,
+    numpy escape interleave otherwise), and the final stream assembles
+    via one scatter: gap bytes shift by the number of match codes
+    before them, match codes land at their gap-boundary slots.  The
+    round-3 version called the gap encoder once per gap (~13 us x tens
+    of thousands of gaps on symbol-dense columns) — that per-call
+    dispatch was the actual bound, not the regex.
     """
     if not symbols:
         return _escape_gap(data)
     multi = [i for i in range(len(symbols)) if len(symbols[i]) > 1]
     tbl, lut, known = _single_luts(symbols)
     if not multi:
-        if bool(known.all()):
-            return data.translate(tbl)
-        return _encode_gap_escaped(data, lut, known) if data else b""
-    ordered = sorted(multi, key=lambda i: (-len(symbols[i]), symbols[i]))
-    pattern = re.compile(
-        b"(" + b"|".join(re.escape(symbols[i]) for i in ordered) + b")"
-    )
-    code_of = {symbols[i]: bytes([i]) for i in multi}
+        enc, _ = _encode_bytes_flat(data, tbl, lut, known)
+        return enc.tobytes()
+    pattern = _trie_pattern([symbols[i] for i in multi])
+    code_of = {symbols[i]: i for i in multi}
     parts = pattern.split(data)  # even slots: gaps, odd slots: matches
-    parts[1::2] = map(code_of.__getitem__, parts[1::2])
-    gaps_all_known = bool(known[np.frombuffer(b"".join(parts[0::2]), dtype=np.uint8)].all())
-    if gaps_all_known:
-        parts[0::2] = (g.translate(tbl) for g in parts[0::2])
-    else:
-        parts[0::2] = (
-            _encode_gap_escaped(g, lut, known) if g else b"" for g in parts[0::2]
-        )
-    return b"".join(parts)
+    gaps = parts[0::2]
+    matches = parts[1::2]
+    if not matches:
+        enc, _ = _encode_bytes_flat(data, tbl, lut, known)
+        return enc.tobytes()
+    gcat = b"".join(gaps)
+    glens = np.fromiter((len(g) for g in gaps), dtype=np.int64, count=len(gaps))
+    enc, widths = _encode_bytes_flat(gcat, tbl, lut, known)
+    if widths is None:
+        enc_gap_lens = glens
+    else:  # encoded length per gap = sum of its bytes' output widths
+        goffs = np.concatenate(([0], np.cumsum(glens)))
+        wcum = np.concatenate(([0], np.cumsum(widths)))
+        enc_gap_lens = np.diff(wcum[goffs])
+    mcodes = np.fromiter(
+        (code_of[m] for m in matches), dtype=np.uint8, count=len(matches)
+    )
+    n_m = len(matches)
+    e_offs = np.concatenate(([0], np.cumsum(enc_gap_lens)))
+    out = np.empty(len(enc) + n_m, dtype=np.uint8)
+    out[e_offs[1 : n_m + 1] + np.arange(n_m, dtype=np.int64)] = mcodes
+    if len(enc):
+        shift = np.repeat(np.arange(len(gaps), dtype=np.int64), enc_gap_lens)
+        out[np.arange(len(enc), dtype=np.int64) + shift] = enc
+    return out.tobytes()
 
 
 def _map_codes(seg: bytes, sym_concat: np.ndarray, sym_off: np.ndarray,

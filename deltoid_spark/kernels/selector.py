@@ -66,8 +66,17 @@ def shortlist(stats: dict, series: pd.Series | None = None) -> list[str]:
         cands.append("dict")
     if stats["mean_run"] >= 1.5:
         cands.append("rle")
-    # FSST pays on short-to-medium redundant strings with sub-maximal entropy
-    if 0 < stats["avg_len"] <= 512 and stats["entropy"] < 6.5 and not stats["hex"]:
+    # FSST pays on short-to-medium redundant strings with sub-maximal
+    # entropy; on massively repetitive columns (distinct_ratio <= 0.05)
+    # DICT/RLE always win the trial (measured round 4: fixture
+    # path/repo/lang blocks — dict/rle 22-27k vs fsst 38k on path), so
+    # skip the trial-encode there
+    if (
+        0 < stats["avg_len"] <= 512
+        and stats["entropy"] < 6.5
+        and not stats["hex"]
+        and stats["distinct_ratio"] > 0.05
+    ):
         cands.append("fsst")
     return cands
 
