@@ -315,6 +315,51 @@ def synthesize_png_media(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic table of REAL baseline JPEG payloads whose decoded
+    pixels are closed-form: grayscale images of constant 8x8 blocks with
+    gray value 128 + 2*(((3*bx + 5*by + i) mod 60) - 30).  Even offsets
+    make every block's DC coefficient exactly representable under the
+    quality-50 quantizer (DC step 16 divides (g-128)*8) and all AC
+    coefficients are zero, so decode is BIT-EXACT and a SQL oracle can
+    recompute the pixel sums without touching the bytes — the JPEG
+    analog of synthesize_png_media's gradient law."""
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        bw, bh = 2 + i % 3, 1 + i % 2
+        bx = np.arange(bw)[None, :]
+        by = np.arange(bh)[:, None]
+        g = 128 + 2 * (((3 * bx + 5 * by + i) % 60) - 30)
+        px = np.repeat(np.repeat(g, 8, axis=0), 8, axis=1).astype(np.uint8)
+        payload = encode_jpeg(px, quality=50, restart_interval=2 if i % 4 == 0 else 0)
+        rows.append((i, "image", bytearray(payload), bw * 8, bh * 8, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode baseline JPEG payloads (huffman -> dequant -> IDCT) in an
+    Arrow-batched kernel and emit exact integer pixel sums per image."""
+    from .jpeg import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [decode_jpeg(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [a.shape[1] for a in px],
+                    "height": [a.shape[0] for a in px],
+                    "px_sum": [int(a.astype(np.int64).sum()) for a in px],
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, width int, height int, px_sum long"
+    )
+
+
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """Decode PNG payloads (zlib inflate + unfilter) in an Arrow-batched
     kernel and emit exact integer pixel sums per image."""
@@ -341,9 +386,9 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
 
 def _decode_external(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
-        "JPEG/MP3/MP4 decode requires codec libraries not present in "
-        "this container; swap this seam for PIL/librosa/pyav on a full "
-        "cluster image (BMP/PNG/WAV/MJPB decode natively above)"
+        "MP3/MP4 decode requires codec libraries not present in this "
+        "container; swap this seam for librosa/pyav on a full cluster "
+        "image (BMP/PNG/JPEG/WAV/MJPB decode natively above)"
     )
 
 
@@ -374,6 +419,13 @@ def decode_features(payload: bytes, kind: str) -> np.ndarray:
         return _image_features(decode_bmp(payload))
     if kind == "image" and payload[: len(PNG_SIG)] == PNG_SIG:
         return _image_features(decode_png(payload)[..., :3])
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 2:  # grayscale: replicate to the RGB feature shape
+            px = np.stack([px] * 3, axis=-1)
+        return _image_features(px)
     if kind == "audio" and payload[:4] == b"RIFF":
         return _audio_features(*decode_wav(payload))
     if kind == "video" and payload[:4] == b"MJPB":

@@ -451,6 +451,32 @@ ORDER BY media_id
 """
 
 
+def _q43_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode (from-scratch huffman + dequant + IDCT,
+    functions/jpeg.py) in an Arrow batch kernel; block-constant gray
+    images with even 128-offsets decode BIT-EXACT (DC step divides the
+    scaled coefficient, AC all zero), so the SQL oracle recomputes
+    every pixel sum from the generation law without touching bytes."""
+    media = multimodal.synthesize_jpeg_media(spark, n=48)
+    return multimodal.jpeg_pixel_stats(media).orderBy("media_id")
+
+
+def _q43_oracle(n: int = 48) -> str:
+    return f"""
+WITH m AS (SELECT i, 2 + i % 3 AS bw, 1 + i % 2 AS bh
+           FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+bxs AS (SELECT unnest(generate_series(0, 4)) AS bx),
+bys AS (SELECT unnest(generate_series(0, 2)) AS by)
+SELECT m.i AS media_id, CAST(m.bw * 8 AS INT) AS width,
+       CAST(m.bh * 8 AS INT) AS height,
+       CAST(SUM(64 * (128 + 2 * (((3 * bx + 5 * by + m.i) % 60) - 30))) AS BIGINT)
+         AS px_sum
+FROM m JOIN bxs ON bxs.bx < m.bw JOIN bys ON bys.by < m.bh
+GROUP BY m.i, m.bw, m.bh
+ORDER BY media_id
+"""
+
+
 def _q34_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: cut the concatenated BPE-token stream into
     4096-token training packs (two-phase distributed prefix sum,
@@ -1183,6 +1209,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q31_asof_join": (_q31_asof_join, _Q31_ORACLE),
     "q32_sessions": (_q32_sessions, _Q32_ORACLE),
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
+    "q43_jpeg_stats": (_q43_jpeg_stats, _q43_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),
