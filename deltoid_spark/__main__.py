@@ -27,13 +27,19 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--target-rows", type=int, default=20_000)
     enc.add_argument("--keyframe-interval", type=int, default=32)
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--origin", default=None)
+    enc.add_argument("--message", default=None)
 
     app_ = sub.add_parser("append", help="A18: extend existing chains with a new batch")
     app_.add_argument("--input", required=True)
     app_.add_argument("--out", required=True)
+    app_.add_argument("--origin", default=None)
+    app_.add_argument("--message", default=None)
 
     cmp_ = sub.add_parser("compact", help="A17: merge append fragments, re-select codecs")
     cmp_.add_argument("--out", required=True)
+    cmp_.add_argument("--origin", default=None)
+    cmp_.add_argument("--message", default=None)
 
     vac = sub.add_parser("vacuum", help="reclaim blocks no active manifest entry references")
     vac.add_argument("--out", required=True)
@@ -41,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     dec = sub.add_parser("decode", help="J2: blocks -> table")
     dec.add_argument("--out", required=True)
     dec.add_argument("--dest", required=True)
+    dec.add_argument("--as-of-gen", type=int, default=None,
+                     help="time travel: read as of this manifest generation")
+
+    his = sub.add_parser("history", help="commit log: one row per generation")
+    his.add_argument("--out", required=True)
 
     ver = sub.add_parser("verify", help="J3: sha256 parity audit")
     ver.add_argument("--input", required=True)
@@ -56,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         decode,
         encode,
         encode_append,
+        history,
         metrics_summary,
         vacuum,
         verify,
@@ -70,19 +82,28 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows=args.target_rows,
                 keyframe_interval=args.keyframe_interval,
                 resume=not args.no_resume,
+                origin=args.origin, message=args.message,
             )
             print(json.dumps(metrics_summary(manifest)))
         elif args.cmd == "append":
-            manifest = encode_append(spark, args.input, args.out)
+            manifest = encode_append(
+                spark, args.input, args.out,
+                origin=args.origin, message=args.message,
+            )
             print(json.dumps(metrics_summary(manifest)))
         elif args.cmd == "compact":
-            manifest = compact(spark, args.out)
+            manifest = compact(spark, args.out, origin=args.origin, message=args.message)
             print(json.dumps(metrics_summary(manifest)))
         elif args.cmd == "vacuum":
             print(json.dumps(vacuum(spark, args.out)))
         elif args.cmd == "decode":
-            decode(spark, args.out).write.mode("overwrite").parquet(args.dest)
+            decode(spark, args.out, as_of_gen=args.as_of_gen).write.mode(
+                "overwrite"
+            ).parquet(args.dest)
             print(json.dumps({"written": args.dest}))
+        elif args.cmd == "history":
+            rows = [r.asDict() for r in history(spark, args.out).collect()]
+            print(json.dumps(rows, default=str))
         elif args.cmd == "verify":
             report = verify(spark, spark.read.parquet(args.input), decode(spark, args.out))
             print(json.dumps(report))

@@ -360,6 +360,189 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------- media probing (MP4/MP3) ----
+#
+# At corpus scale the first media pass is a PROBE, not a decode: read
+# container/frame metadata (duration, resolution, codec, track count)
+# to filter and route before any expensive codec work.  MP4 is an ISO
+# BMFF box tree and MP3 a self-describing frame stream — both parse
+# with pure struct walking, no codec libraries.  Only the codec
+# PAYLOAD decode (MP3 audio samples, MP4 video frames) remains behind
+# `_decode_external`.
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def encode_mp4_stub(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd + trak(tkhd)) + mdat.
+
+    Real box structure (parsers, including ours, walk it like any MP4);
+    the mdat payload is an empty stub — the probe never reads it."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + tag + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version/flags
+        + (0).to_bytes(4, "big") * 2  # ctime/mtime
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + b"\x00" * 80,  # rate/volume/matrix/next_track (probe ignores)
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")  # track id
+        + b"\x00" * 4
+        + dur.to_bytes(4, "big")
+        + b"\x00" * 52
+        + (width << 16).to_bytes(4, "big")  # 16.16 fixed point
+        + (height << 16).to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return (
+        box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+        + moov
+        + box(b"mdat", b"")
+    )
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Walk the box tree; return duration_ms, n_tracks, width, height."""
+    out = {"duration_ms": 0, "n_tracks": 0, "width": 0, "height": 0}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            tag = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                raise ValueError(f"corrupt box {tag!r} at {i}")
+            body = payload[i + 8 : i + size]
+            if tag == b"moov":
+                walk(i + 8, i + size)
+            elif tag == b"trak":
+                out["n_tracks"] += 1
+                walk(i + 8, i + size)
+            elif tag == b"mvhd":
+                timescale = int.from_bytes(body[12:16], "big")
+                dur = int.from_bytes(body[16:20], "big")
+                out["duration_ms"] = dur * 1000 // max(1, timescale)
+            elif tag == b"tkhd":
+                w = int.from_bytes(body[76:80], "big") >> 16
+                h = int.from_bytes(body[80:84], "big") >> 16
+                out["width"] = max(out["width"], w)
+                out["height"] = max(out["height"], h)
+            i += size
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    walk(0, len(payload))
+    return out
+
+
+def encode_mp3_stub(n_frames: int, bitrate_idx: int = 9, rate_idx: int = 0) -> bytes:
+    """n_frames of valid MPEG-1 Layer III frame headers with zeroed
+    side-info/payload — frame sizes follow the real spec formula, so
+    any frame walker (including ours) steps the stream correctly."""
+    out = bytearray()
+    for i in range(n_frames):
+        pad = i % 2  # alternate padding bit: exercises the size formula
+        hdr = 0xFFFB0000 | (bitrate_idx << 12) | (rate_idx << 10) | (pad << 9)
+        size = 144 * _MP3_BITRATES[bitrate_idx] * 1000 // _MP3_RATES[rate_idx] + pad
+        out += hdr.to_bytes(4, "big") + b"\x00" * (size - 4)
+    return bytes(out)
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk the frame stream; return n_frames, bitrate_kbps (first
+    frame), sample_rate, duration_ms (1152 samples per MPEG-1 L3 frame)."""
+    i = 0
+    n = 0
+    first = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"bad frame sync at {i}")
+        version = (payload[i + 1] >> 3) & 0x3
+        layer = (payload[i + 1] >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = payload[i + 2] >> 4
+        rate_idx = (payload[i + 2] >> 2) & 0x3
+        pad = (payload[i + 2] >> 1) & 0x1
+        if br_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("free-form/bad bitrate or rate")
+        if first is None:
+            first = (_MP3_BITRATES[br_idx], _MP3_RATES[rate_idx])
+        size = 144 * _MP3_BITRATES[br_idx] * 1000 // _MP3_RATES[rate_idx] + pad
+        i += size
+        n += 1
+    if first is None or i != len(payload):
+        raise ValueError("truncated MP3 stream")
+    return {
+        "n_frames": n,
+        "bitrate_kbps": first[0],
+        "sample_rate": first[1],
+        "duration_ms": n * 1152 * 1000 // first[1],
+    }
+
+
+def synthesize_probe_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic table of REAL MP4 containers and MP3 frame streams
+    whose probe outputs are closed-form in the media index (the q44
+    oracle recomputes them from i alone)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 320 + 16 * (i % 5), 240 + 16 * (i % 3)
+            dur = 1000 + 250 * (i % 8)
+            rows.append((i, "video", bytearray(encode_mp4_stub(w, h, dur)), w, h, dur))
+        else:
+            frames = 10 + i % 20
+            rows.append((i, "audio", bytearray(encode_mp3_stub(frames)), 0, 0, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Container-metadata probe over binary payloads (Arrow-batched):
+    the route-and-filter pass a media pipeline runs before any decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                if p[4:8] == b"ftyp":
+                    d = probe_mp4(p)
+                    rows.append((mid, "mp4", len(p), d["duration_ms"],
+                                 d["n_tracks"], d["width"], d["height"]))
+                elif p[:1] == b"\xff":
+                    d = probe_mp3(p)
+                    rows.append((mid, "mp3", len(p), d["duration_ms"],
+                                 d["n_frames"], d["bitrate_kbps"], d["sample_rate"]))
+                else:
+                    rows.append((mid, "unknown", len(p), 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "n_bytes", "duration_ms",
+                         "n_units", "meta_a", "meta_b"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, container string, n_bytes long, duration_ms long, "
+        "n_units long, meta_a long, meta_b long",
+    )
+
+
 def png_pixel_stats(media: DataFrame) -> DataFrame:
     """Decode PNG payloads (zlib inflate + unfilter) in an Arrow-batched
     kernel and emit exact integer pixel sums per image."""

@@ -477,6 +477,34 @@ ORDER BY media_id
 """
 
 
+def _q44_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probe over REAL MP4 box trees and MP3 frame
+    streams (functions/multimodal.py probe walkers) — the
+    route-and-filter pass a media pipeline runs before any decode.
+    Every probed value is closed-form in the media index, so the SQL
+    oracle recomputes the full output from i alone."""
+    media = multimodal.synthesize_probe_media(spark, n=48)
+    return multimodal.media_probe(media).orderBy("media_id")
+
+
+def _q44_oracle(n: int = 48) -> str:
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT i AS media_id, 'mp4' AS container, CAST(248 AS BIGINT) AS n_bytes,
+       CAST(1000 + 250 * (i % 8) AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS n_units,
+       CAST(320 + 16 * (i % 5) AS BIGINT) AS meta_a,
+       CAST(240 + 16 * (i % 3) AS BIGINT) AS meta_b
+FROM idx WHERE i % 2 = 0
+UNION ALL
+SELECT i, 'mp3', CAST(417 * f + f // 2 AS BIGINT),
+       CAST(f * 1152 * 1000 // 44100 AS BIGINT), CAST(f AS BIGINT),
+       CAST(128 AS BIGINT), CAST(44100 AS BIGINT)
+FROM (SELECT i, 10 + i % 20 AS f FROM idx WHERE i % 2 = 1)
+ORDER BY media_id
+"""
+
+
 def _q34_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: cut the concatenated BPE-token stream into
     4096-token training packs (two-phase distributed prefix sum,
@@ -1210,6 +1238,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q32_sessions": (_q32_sessions, _Q32_ORACLE),
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
     "q43_jpeg_stats": (_q43_jpeg_stats, _q43_oracle()),
+    "q44_media_probe": (_q44_media_probe, _q44_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

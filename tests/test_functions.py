@@ -169,6 +169,40 @@ def test_ivf_trained_probe_quality(spark):
     assert len(hits) >= 5, sorted(hits)
 
 
+def test_media_probe_parsers():
+    """MP4 box-tree and MP3 frame-stream probes: real struct walking,
+    closed-form sizes, corrupt-input rejection (no Spark needed)."""
+    p = multimodal.encode_mp4_stub(352, 288, 2250)
+    assert len(p) == 248  # fixed box layout
+    assert multimodal.probe_mp4(p) == {
+        "duration_ms": 2250, "n_tracks": 1, "width": 352, "height": 288
+    }
+    for f in (1, 10, 29):
+        s = multimodal.encode_mp3_stub(f)
+        assert len(s) == 417 * f + f // 2  # spec frame-size formula
+        d = multimodal.probe_mp3(s)
+        assert (d["n_frames"], d["bitrate_kbps"], d["sample_rate"]) == (f, 128, 44100)
+        assert d["duration_ms"] == f * 1152 * 1000 // 44100
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.probe_mp4(b"xxxxyyyy" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.probe_mp3(multimodal.encode_mp3_stub(3)[:-5])
+    with pytest.raises(ValueError, match="sync"):
+        multimodal.probe_mp3(b"\x00\x00\x00\x00")
+
+
+def test_media_probe_spark_kernel(spark):
+    got = {
+        r["media_id"]: r
+        for r in multimodal.media_probe(
+            multimodal.synthesize_probe_media(spark, n=8)
+        ).collect()
+    }
+    assert got[0]["container"] == "mp4" and got[0]["meta_a"] == 320
+    assert got[1]["container"] == "mp3" and got[1]["n_units"] == 11
+    assert all(got[i]["n_bytes"] > 0 for i in range(8))
+
+
 def test_media_features_real_decode(spark):
     media = multimodal.synthesize_media(spark, n=12)
     feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}

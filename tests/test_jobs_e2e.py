@@ -251,9 +251,10 @@ sess.get_spark = get_once
 
 rc = 0
 rc |= cli.main(["encode", "--input", os.path.join(base, "a.parquet"), "--out", out,
-                "--target-rows", "300"])
+                "--target-rows", "300", "--origin", "cli-test", "--message", "base"])
 rc |= cli.main(["append", "--input", os.path.join(base, "b.parquet"), "--out", out])
 rc |= cli.main(["compact", "--out", out])
+rc |= cli.main(["history", "--out", out])
 rc |= cli.main(["metrics", "--out", out])
 rc |= cli.main(["vacuum", "--out", out])
 rc |= cli.main(["decode", "--out", out, "--dest", os.path.join(base, "dec.parquet")])
@@ -272,3 +273,8 @@ print("CLI_RC", rc)
     assert len(jsons) >= 6
     report = _json.loads(jsons[-1])
     assert report["ok"] is True
+    # history printed the commit log with the CLI-supplied metadata
+    hist = _json.loads([ln for ln in out_lines if ln.startswith("[")][-1])
+    assert [h["kind"] for h in hist] == ["replace", "append", "replace"]
+    assert (hist[0]["origin"], hist[0]["msg"]) == ("cli-test", "base")
+    assert hist[2]["msg"] == "compact"
