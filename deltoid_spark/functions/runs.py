@@ -92,13 +92,17 @@ def run_length_profile(
         F.floor(F.col(key_col) / bucket_size).alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("k", "s")
+    wfull = Window.partitionBy("bucket").orderBy("k", "s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     # ONE window pass over the data tags each row with its in-bucket
-    # position and whether it STARTS a run; everything after the filter
-    # below is runs-sized (one row per value change), so no full-data
-    # aggregation ever runs.  Bucket sizes come from a separate
-    # map-side-combined aggregate joined onto the RUNS-SIZED frame — an
-    # unbounded-following COUNT frame in the window would force the
-    # WindowExec to buffer (and potentially spill) every full bucket.
+    # position, whether it STARTS a run, and the bucket size (a
+    # full-frame COUNT in the SAME exchange+sort — safe to buffer
+    # because buckets are capped at bucket_size rows by construction,
+    # a constant independent of table size; this replaces the separate
+    # full-scan aggregate + join the round-3 version paid).  Everything
+    # after the filter below is runs-sized (one row per value change),
+    # so no full-data aggregation ever runs.
     rows = b.select(
         "bucket",
         "value",
@@ -107,9 +111,9 @@ def run_length_profile(
             (F.row_number().over(w) == 1)
             | ~F.lag("value").over(w).eqNullSafe(F.col("value"))
         ).alias("starts"),
+        F.count("*").over(wfull).alias("bsize"),
     )
-    bsizes = b.groupBy("bucket").agg(F.count("*").alias("bsize"))
-    starts = rows.filter("starts").join(bsizes, "bucket")
+    starts = rows.filter("starts")
     ws = Window.partitionBy("bucket").orderBy("rn")
     segs = (
         starts.select(
