@@ -194,3 +194,54 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
+    """Character-trigram LM coverage score — the CCNet-style quality
+    proxy (Wenzek et al. 2020 score documents by an in-domain LM;
+    here the "model" is the trigram table of a deterministic in-domain
+    reference slice, doc_id % ref_mod == 0, and the score is integer
+    coverage/frequency statistics instead of float log-probs, so every
+    value is exact in any engine).
+
+    Per doc: n_tri trigram positions, seen_permille (fraction of
+    positions whose trigram occurs in the reference), avg_ref_count
+    (mean reference frequency of the doc's trigrams — low = far from
+    the reference distribution).  Low seen_permille / avg_ref_count
+    flags boilerplate, non-language, or out-of-domain text.
+
+    Scale shape: the reference table is alphabet-bounded (distinct
+    trigrams), so it BROADCASTS; the corpus side never shuffles by
+    trigram — one map-side-combinable per-doc aggregate is the only
+    exchange.  Float division appears ONLY after the integer sums, as
+    floor(sum/count) with both operands exact — identical doubles in
+    Spark and DuckDB.
+    """
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 3)").alias("g"))
+    ref = (
+        tri.filter(F.col("doc_id") % ref_mod == 0)
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tri.join(F.broadcast(ref), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.floor(
+                F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+                * 1000
+                / F.count("*")
+            ).cast("long").alias("seen_permille"),
+            F.floor(F.sum(F.coalesce(F.col("c"), F.lit(0))) / F.count("*"))
+            .cast("long")
+            .alias("avg_ref_count"),
+        )
+        .orderBy("doc_id")
+    )

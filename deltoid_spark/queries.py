@@ -477,6 +477,33 @@ ORDER BY media_id
 """
 
 
+def _q45_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc char-trigram coverage vs a
+    deterministic in-domain reference slice (functions/text.py
+    lm_coverage) — integer statistics only, so cross-engine exact."""
+    return text.lm_coverage(load(spark, sf_dir, "documents"))
+
+
+_Q45_ORACLE = """
+WITH tri AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(1, length(text) - 2))) AS i
+        FROM documents)),
+ref AS (
+  SELECT g, COUNT(*) AS c FROM tri WHERE doc_id % 10 = 0 GROUP BY g)
+SELECT t.doc_id,
+       COUNT(*) AS n_tri,
+       CAST(FLOOR(SUM(CASE WHEN r.c IS NOT NULL THEN 1 ELSE 0 END) * 1000
+                  / COUNT(*)) AS BIGINT) AS seen_permille,
+       CAST(FLOOR(CAST(SUM(COALESCE(r.c, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS avg_ref_count
+FROM tri t LEFT JOIN ref r USING (g)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
 def _q44_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probe over REAL MP4 box trees and MP3 frame
     streams (functions/multimodal.py probe walkers) — the
@@ -1239,6 +1266,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q33_png_stats": (_q33_png_stats, _q33_oracle()),
     "q43_jpeg_stats": (_q43_jpeg_stats, _q43_oracle()),
     "q44_media_probe": (_q44_media_probe, _q44_oracle()),
+    "q45_lm_coverage": (_q45_lm_coverage, _Q45_ORACLE),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

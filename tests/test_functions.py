@@ -169,6 +169,22 @@ def test_ivf_trained_probe_quality(spark):
     assert len(hits) >= 5, sorted(hits)
 
 
+def test_lm_coverage_flags_out_of_domain(spark):
+    """Docs made of reference-like text score high coverage; a doc of
+    characters the reference never saw scores ~0."""
+    from deltoid_spark.functions import text as textfns
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(0, 40, 2)]
+    rows.append((1, "the quick brown fox jumps over the lazy"))
+    rows.append((3, "@@@@####$$$$%%%%^^^^&&&&****(((()))){{{{}}}}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textfns.lm_coverage(docs).collect()}
+    assert got[1]["seen_permille"] > 900      # in-domain text: near-full coverage
+    assert got[3]["seen_permille"] < 100      # alien alphabet: near-zero
+    assert got[1]["avg_ref_count"] > got[3]["avg_ref_count"]
+    assert all(r["n_tri"] > 0 for r in got.values())
+
+
 def test_media_probe_parsers():
     """MP4 box-tree and MP3 frame-stream probes: real struct walking,
     closed-form sizes, corrupt-input rejection (no Spark needed)."""
