@@ -436,3 +436,57 @@ def simhash_buckets(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("bucket")
     )
+
+
+def strip_boilerplate_lines(docs: DataFrame, max_df: int = 2) -> DataFrame:
+    """Corpus-wide line-level dedup (RefinedWeb/Lee-et-al. style): drop
+    every line that occurs in more than ``max_df`` distinct documents
+    (navigation chrome, license headers, boilerplate), reassemble each
+    document from its surviving lines in original order.
+
+    Output: (doc_id, n_lines, n_kept, cleaned_md5) — the md5 of the
+    reassembled text makes the whole reconstruction value-checkable
+    without shipping document bodies through the compare.
+
+    Scale shape: lines are hashed to 60-bit ints BEFORE the
+    doc-frequency shuffle (the q26 shuffle-weight cut), the heavy-
+    hitter set (df > max_df) is small by definition and broadcasts
+    into a left-anti join, and reassembly is one map-side-combinable
+    per-doc aggregate (array_sort on (position, line) structs -> join)
+    — no global sort, no self-join.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("ln", "line")
+    ).withColumn(
+        "lh", F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+    )
+    dfreq = (
+        lines.select("doc_id", "lh").distinct().groupBy("lh").agg(
+            F.count("*").alias("df")
+        )
+    )
+    bad = dfreq.filter(F.col("df") > max_df).select("lh")
+    kept = lines.join(F.broadcast(bad), "lh", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ln", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = docs.select("doc_id", F.size(F.split("text", "\n")).alias("n_lines"))
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

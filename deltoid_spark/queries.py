@@ -477,6 +477,40 @@ ORDER BY media_id
 """
 
 
+def _q46_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate line removal (functions/dedup.py
+    strip_boilerplate_lines): lines in > max_df docs are stripped and
+    each doc reassembled; the md5 of the rebuilt text value-checks the
+    whole reconstruction."""
+    return dedup.strip_boilerplate_lines(load(spark, sf_dir, "documents"))
+
+
+_Q46_ORACLE = """
+WITH l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS ln, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+h AS (
+  SELECT doc_id, ln, line,
+         CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) AS lh
+  FROM l),
+dfreq AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY lh),
+bad AS (SELECT lh FROM dfreq WHERE df > 2),
+kept AS (
+  SELECT h.* FROM h
+  WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.lh = h.lh)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY ln)) AS cleaned_md5
+  FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM documents)
+SELECT n.doc_id, CAST(n.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(agg.cleaned_md5, md5('')) AS cleaned_md5
+FROM n LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _q45_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc char-trigram coverage vs a
     deterministic in-domain reference slice (functions/text.py
@@ -1267,6 +1301,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q43_jpeg_stats": (_q43_jpeg_stats, _q43_oracle()),
     "q44_media_probe": (_q44_media_probe, _q44_oracle()),
     "q45_lm_coverage": (_q45_lm_coverage, _Q45_ORACLE),
+    "q46_line_dedup": (_q46_line_dedup, _Q46_ORACLE),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

@@ -169,6 +169,31 @@ def test_ivf_trained_probe_quality(spark):
     assert len(hits) >= 5, sorted(hits)
 
 
+def test_strip_boilerplate_lines_exact(spark):
+    """Planted boilerplate (shared header/footer across >max_df docs)
+    is stripped; unique bodies survive in original order; a doc of pure
+    boilerplate collapses to the empty text."""
+    import hashlib
+
+    header, footer = "=== SITE NAV ===", "(c) example corp"
+    rows = [
+        (i, f"{header}\nbody {i} first\nbody {i} second\n{footer}") for i in range(5)
+    ]
+    rows.append((5, f"{header}\n{footer}"))  # pure boilerplate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.strip_boilerplate_lines(docs, max_df=2).collect()}
+    for i in range(5):
+        expect = f"body {i} first\nbody {i} second"
+        assert got[i]["n_lines"] == 4 and got[i]["n_kept"] == 2
+        assert got[i]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest(), i
+    assert got[5]["n_kept"] == 0
+    assert got[5]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    # below the threshold nothing is stripped
+    few = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    kept = dedup.strip_boilerplate_lines(few, max_df=2).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in kept)
+
+
 def test_lm_coverage_flags_out_of_domain(spark):
     """Docs made of reference-like text score high coverage; a doc of
     characters the reference never saw scores ~0."""
