@@ -245,3 +245,30 @@ def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Conservative ASCII patterns with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): no \b boundaries, no lookaround, no
+# shorthand classes.
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+IPV4_RX = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + masking (the Dolma/RedPajama pre-release pass):
+    count and replace email addresses and IPv4 literals with typed mask
+    tokens.  All JVM expressions (regexp_count / regexp_replace inside
+    whole-stage codegen, no Python); the scrubbed text's md5 makes the
+    full replacement value-checkable without shipping bodies.  Dots are
+    written as [.] classes so the pattern strings behave identically
+    under Java regex and RE2.
+    """
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RX, "<EMAIL>"), IPV4_RX, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RX)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(IPV4_RX)).cast("long").alias("n_ips"),
+        F.md5(scrub).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

@@ -477,6 +477,26 @@ ORDER BY media_id
 """
 
 
+def _q47_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (functions/text.py pii_scrub): email and
+    IPv4 counts plus the md5 of the masked text — the Dolma-style
+    pre-release pass, value-checked end to end."""
+    return text.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+def _q47_oracle() -> str:
+    email, ip = text.EMAIL_RX, text.IPV4_RX
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                          '{ip}', '<IP>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _q46_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate line removal (functions/dedup.py
     strip_boilerplate_lines): lines in > max_df docs are stripped and
@@ -1302,6 +1322,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q44_media_probe": (_q44_media_probe, _q44_oracle()),
     "q45_lm_coverage": (_q45_lm_coverage, _Q45_ORACLE),
     "q46_line_dedup": (_q46_line_dedup, _Q46_ORACLE),
+    "q47_pii_scrub": (_q47_pii_scrub, _q47_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

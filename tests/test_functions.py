@@ -194,6 +194,31 @@ def test_strip_boilerplate_lines_exact(spark):
     assert all(r["n_kept"] == r["n_lines"] for r in kept)
 
 
+def test_pii_scrub_masks_planted_pii(spark):
+    import hashlib
+
+    from deltoid_spark.functions import text as textfns
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact alice.b+test@sub.example.co.uk or 192.168.0.1 now"),
+            (1, "no pii here"),
+            (2, "two mails a@b.io c@d.org and ips 10.0.0.1 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textfns.pii_scrub(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"]) == (1, 1)
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"]) == (2, 2)
+    assert got[0]["scrubbed_md5"] == hashlib.md5(
+        b"contact <EMAIL> or <IP> now"
+    ).hexdigest()
+    assert got[2]["scrubbed_md5"] == hashlib.md5(
+        b"two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+    ).hexdigest()
+
+
 def test_lm_coverage_flags_out_of_domain(spark):
     """Docs made of reference-like text score high coverage; a doc of
     characters the reference never saw scores ~0."""
