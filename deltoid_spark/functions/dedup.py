@@ -75,14 +75,19 @@ def minhash_signatures(
     return grams.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, bands: int = N_BANDS, portable: bool = True
+) -> DataFrame:
     """MinHash-LSH: band the signatures, join within buckets.
 
     Docs sharing any band bucket become candidate near-dup pairs
     (classic shingle->minhash->band->bucket-join).  Output is the
-    deduplicated pair list (a < b).
+    deduplicated pair list (a < b).  portable=False switches the
+    shingle hashing to seeded xxhash64 (the 100 TB path — ~2x the
+    md5 signature throughput, measured in BASELINE.md — for when no
+    cross-engine oracle parity is needed; identical plan shape).
     """
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, portable=portable)
     per_band = N_MINHASH // bands
     band_cols = [
         F.struct(

@@ -39,6 +39,14 @@ def test_lsh_candidate_pairs(docs):
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
     assert (0, 1) in pairs
     assert (0, 3) not in pairs and (3, 4) not in pairs
+    # the non-portable (xxhash64) scale path: same plan, same planted-dup
+    # behavior — identical docs always collide, unrelated never
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs, portable=False).collect()
+    }
+    assert (0, 1) in fast
+    assert (0, 3) not in fast and (3, 4) not in fast
 
 
 def test_simhash_hamming(docs):
