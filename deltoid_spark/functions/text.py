@@ -217,13 +217,22 @@ def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
     floor(sum/count) with both operands exact — identical doubles in
     Spark and DuckDB.
     """
+    # trigrams hash to 60-bit md5-prefix ints BEFORE any join/aggregate
+    # (the q26 shuffle-weight cut): the broadcast reference table is
+    # (long, long) rows instead of strings — bounded by the distinct-
+    # trigram count (|charset|^3), ~2x lighter than string keys
     tri = docs.select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
         ).alias("i"),
         "text",
-    ).select("doc_id", F.expr("substring(text, i, 3)").alias("g"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.expr("substring(text, i, 3)")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
     ref = (
         tri.filter(F.col("doc_id") % ref_mod == 0)
         .groupBy("g")

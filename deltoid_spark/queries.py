@@ -540,7 +540,9 @@ def _q45_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q45_ORACLE = """
 WITH tri AS (
-  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 3)), 1, 15))
+              AS BIGINT) AS g
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(1, length(text) - 2))) AS i
         FROM documents)),
