@@ -447,6 +447,156 @@ def probe_mp4(payload: bytes) -> dict:
     return out
 
 
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, quality: int = 50
+) -> bytes:
+    """A REAL playable MP4: Motion-JPEG samples with full sample tables.
+
+    Layout: ftyp + mdat (concatenated baseline JPEGs, via the
+    from-scratch codec in functions/jpeg.py) + moov whose stbl carries
+    the actual stsd/stts/stsc/stsz/stco entries — any MP4 demuxer finds
+    the frames where the sample tables say they are.  mdat precedes
+    moov so chunk offsets are known when the tables are written.
+    """
+    from .jpeg import encode_jpeg
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + tag + payload
+
+    samples = [encode_jpeg(f, quality=quality) for f in frames]
+    ftyp = box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mdat = box(b"mdat", b"".join(samples))
+    data_base = len(ftyp) + 8  # first sample's absolute offset
+    offsets = []
+    off = data_base
+    for s in samples:
+        offsets.append(off)
+        off += len(s)
+    n = len(samples)
+    h, w = frames[0].shape[:2]
+    timescale = fps * 100
+    dur = n * 100
+
+    stsd = box(
+        b"stsd",
+        b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+        + box(
+            b"mp4v",  # visual sample entry, codec tag only read by demuxers
+            b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 16
+            + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+            + (0x480000).to_bytes(4, "big") * 2 + b"\x00" * 4
+            + (1).to_bytes(2, "big") + b"\x00" * 32
+            + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"),
+        ),
+    )
+    stts = box(
+        b"stts",
+        b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+        + n.to_bytes(4, "big") + (100).to_bytes(4, "big"),
+    )
+    stsc = box(
+        b"stsc",
+        b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + b"".join(len(s).to_bytes(4, "big") for s in samples),
+    )
+    stco = box(
+        b"stco",
+        b"\x00\x00\x00\x00" + n.to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = box(b"dinf", box(b"dref", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+                            + box(b"url ", b"\x00\x00\x00\x01")))
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big") + b"\x55\xc4\x00\x00",
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + (0).to_bytes(4, "big") * 2 + (1).to_bytes(4, "big")
+        + b"\x00" * 4 + (dur * 1000 // timescale).to_bytes(4, "big") + b"\x00" * 52
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+    )
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + (0).to_bytes(4, "big") * 2
+        + (1000).to_bytes(4, "big") + (dur * 1000 // timescale).to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def decode_mp4_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Demux + decode an MP4 whose samples are baseline JPEGs: walk the
+    box tree to stbl, read the REAL stsz/stco sample tables, slice the
+    file at those offsets, decode each sample with the from-scratch
+    JPEG decoder."""
+    from .jpeg import decode_jpeg
+
+    sizes: list[int] | None = None
+    offsets: list[int] | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal sizes, offsets
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            tag = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                raise ValueError(f"corrupt box {tag!r} at {i}")
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(i + 8, i + size)
+            elif tag == b"stsz":
+                body = payload[i + 8 : i + size]
+                fixed = int.from_bytes(body[4:8], "big")
+                n = int.from_bytes(body[8:12], "big")
+                sizes = (
+                    [fixed] * n
+                    if fixed
+                    else [
+                        int.from_bytes(body[12 + 4 * k : 16 + 4 * k], "big")
+                        for k in range(n)
+                    ]
+                )
+            elif tag == b"stco":
+                body = payload[i + 8 : i + size]
+                n = int.from_bytes(body[4:8], "big")
+                offsets = [
+                    int.from_bytes(body[8 + 4 * k : 12 + 4 * k], "big")
+                    for k in range(n)
+                ]
+            i += size
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    walk(0, len(payload))
+    if not sizes or not offsets:
+        raise ValueError("missing stsz/stco sample tables")
+    # stco holds CHUNK offsets; with one sample per chunk (our stsc) the
+    # k-th sample starts at offsets[k]; tolerate the single-chunk layout
+    # too (consecutive samples packed from offsets[0])
+    if len(offsets) == len(sizes):
+        starts = offsets
+    else:
+        starts = [offsets[0]]
+        for s in sizes[:-1]:
+            starts.append(starts[-1] + s)
+    return [
+        decode_jpeg(payload[o : o + s]) for o, s in zip(starts, sizes)
+    ]
+
+
 def encode_mp3_stub(n_frames: int, bitrate_idx: int = 9, rate_idx: int = 0) -> bytes:
     """n_frames of valid MPEG-1 Layer III frame headers with zeroed
     side-info/payload — frame sizes follow the real spec formula, so
@@ -491,6 +641,58 @@ def probe_mp3(payload: bytes) -> dict:
         "sample_rate": first[1],
         "duration_ms": n * 1152 * 1000 // first[1],
     }
+
+
+def synthesize_mp4_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic table of REAL MP4/Motion-JPEG videos whose decoded
+    frames are closed-form: each frame is a block-constant gray JPEG
+    with even 128-offsets (bit-exact at quality 50, see
+    synthesize_jpeg_media), so a SQL oracle recomputes every pixel sum
+    across the full demux + JPEG decode path."""
+    rows = []
+    for i in range(n):
+        n_frames = 2 + i % 3
+        bw, bh = 2 + i % 2, 1 + i % 2
+        frames = []
+        for f in range(n_frames):
+            bx = np.arange(bw)[None, :]
+            by = np.arange(bh)[:, None]
+            g = 128 + 2 * (((3 * bx + 5 * by + i + 7 * f) % 60) - 30)
+            frames.append(
+                np.repeat(np.repeat(g, 8, axis=0), 8, axis=1).astype(np.uint8)
+            )
+        payload = encode_mp4_mjpeg(frames, quality=50)
+        rows.append(
+            (i, "video", bytearray(payload), bw * 8, bh * 8, n_frames * 40)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mp4_frame_stats(media: DataFrame) -> DataFrame:
+    """Demux + decode every MP4 sample (stsz/stco walk -> JPEG decode)
+    in an Arrow-batched kernel; exact integer pixel sums per video."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_mp4_mjpeg(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        len(frames),
+                        frames[0].shape[1],
+                        frames[0].shape[0],
+                        int(sum(f.astype(np.int64).sum() for f in frames)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "width", "height", "px_sum"]
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, n_frames int, width int, height int, px_sum long"
+    )
 
 
 def synthesize_probe_media(spark, n: int = 48) -> DataFrame:
@@ -661,13 +863,22 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
 
 
 def decode_frames(media: DataFrame, fps: int = 25) -> DataFrame:
-    """Explode MJPB videos into per-frame feature rows (real decode)."""
+    """Explode videos into per-frame feature rows (real decode): MJPB
+    containers and MP4/Motion-JPEG files both supported."""
+
+    def _frames(p: bytes):
+        if p[4:8] == b"ftyp":
+            return [
+                f if f.ndim == 3 else np.stack([f] * 3, axis=-1)
+                for f in decode_mp4_mjpeg(p)
+            ]
+        return decode_mjpb(p)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fnos, ts, feats = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for fno, frame in enumerate(decode_mjpb(bytes(payload))):
+                for fno, frame in enumerate(_frames(bytes(payload))):
                     ids.append(mid)
                     fnos.append(fno)
                     ts.append(int(fno * 1000 / fps))

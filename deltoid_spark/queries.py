@@ -560,6 +560,34 @@ ORDER BY doc_id
 """
 
 
+def _q48_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MP4 video decode: demux via the real stsz/stco sample
+    tables, decode every Motion-JPEG sample with the from-scratch JPEG
+    codec (functions/multimodal.py mp4_frame_stats); block-constant
+    frames make every pixel sum closed-form for the oracle."""
+    media = multimodal.synthesize_mp4_media(spark, n=24)
+    return multimodal.mp4_frame_stats(media).orderBy("media_id")
+
+
+def _q48_oracle(n: int = 24) -> str:
+    return f"""
+WITH m AS (SELECT i, 2 + i % 3 AS nf, 2 + i % 2 AS bw, 1 + i % 2 AS bh
+           FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+fs AS (SELECT unnest(generate_series(0, 4)) AS f),
+bxs AS (SELECT unnest(generate_series(0, 2)) AS bx),
+bys AS (SELECT unnest(generate_series(0, 1)) AS by)
+SELECT m.i AS media_id, CAST(m.nf AS INT) AS n_frames,
+       CAST(m.bw * 8 AS INT) AS width, CAST(m.bh * 8 AS INT) AS height,
+       CAST(SUM(64 * (128 + 2 * (((3 * bx + 5 * by + m.i + 7 * f) % 60) - 30))) AS BIGINT)
+         AS px_sum
+FROM m JOIN fs ON fs.f < m.nf
+       JOIN bxs ON bxs.bx < m.bw
+       JOIN bys ON bys.by < m.bh
+GROUP BY m.i, m.nf, m.bw, m.bh
+ORDER BY media_id
+"""
+
+
 def _q44_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probe over REAL MP4 box trees and MP3 frame
     streams (functions/multimodal.py probe walkers) — the
@@ -1325,6 +1353,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q45_lm_coverage": (_q45_lm_coverage, _Q45_ORACLE),
     "q46_line_dedup": (_q46_line_dedup, _Q46_ORACLE),
     "q47_pii_scrub": (_q47_pii_scrub, _q47_oracle()),
+    "q48_mp4_frames": (_q48_mp4_frames, _q48_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

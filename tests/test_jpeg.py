@@ -127,6 +127,41 @@ class TestWiring:
         assert (int(feats[0]), int(feats[1])) == (16, 16)
         assert 0 <= feats[2] <= 255
 
+    def test_mp4_mjpeg_roundtrip_and_probe(self):
+        """A real MP4 (ftyp + mdat + moov with stsd/stts/stsc/stsz/stco)
+        whose Motion-JPEG samples decode bit-exact; the generic box
+        probe reads the same file's metadata."""
+        frames = []
+        for f in range(4):
+            g = 128 + 2 * (
+                ((3 * np.arange(3)[None, :] + 5 * np.arange(2)[:, None] + f) % 60) - 30
+            )
+            frames.append(np.repeat(np.repeat(g, 8, 0), 8, 1).astype(np.uint8))
+        mp4 = multimodal.encode_mp4_mjpeg(frames, quality=50)
+        out = multimodal.decode_mp4_mjpeg(mp4)
+        assert len(out) == 4
+        assert all((a == b).all() for a, b in zip(out, frames))
+        probe = multimodal.probe_mp4(mp4)
+        assert (probe["width"], probe["height"], probe["n_tracks"]) == (24, 16, 1)
+        with pytest.raises(ValueError, match="stsz|ftyp"):
+            multimodal.decode_mp4_mjpeg(multimodal.encode_mp4_stub(8, 8, 100))
+
+    def test_mp4_rgb_frames_lossy_bound(self):
+        rgb = [_gradient_rgb(16, 16, a=i + 1) for i in range(3)]
+        out = multimodal.decode_mp4_mjpeg(multimodal.encode_mp4_mjpeg(rgb, quality=90))
+        for a, b in zip(out, rgb):
+            assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+    def test_decode_frames_handles_mp4(self, spark):
+        media = multimodal.synthesize_mp4_media(spark, n=4)
+        rows = multimodal.decode_frames(media).collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        for i in range(4):
+            assert len(by_id[i]) == 2 + i % 3  # one row per decoded frame
+            assert all(len(r["feature"]) == 8 for r in by_id[i])
+
     def test_jpeg_pixel_stats_matches_law(self, spark):
         media = multimodal.synthesize_jpeg_media(spark, n=12)
         got = {
