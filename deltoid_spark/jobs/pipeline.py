@@ -76,7 +76,7 @@ DEFAULT_CONTENT_COL = "content"
 BLOCK_SCHEMA = (
     "part_id long, frag_id long, column string, codec string, payload binary, "
     "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double, "
-    "run_id string"
+    "run_id string, zmin long, zmax long"
 )
 
 ROW_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -217,10 +217,23 @@ def _arrow_content_col(
     return ()
 
 
-def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
-    """Encode one non-string column; returns (codec, buf, raw_bytes)."""
+def _encode_typed(
+    s: pd.Series, ddl: str
+) -> tuple[str, bytes, int, int | None, int | None]:
+    """Encode one non-string column; returns (codec, buf, raw_bytes,
+    zmin, zmax).  The zone map (min/max of the int64 STORAGE values,
+    nulls excluded; None for non-int and all-null columns) lands on the
+    block row so ``decode(where=...)`` prunes whole partitions from the
+    block table — the A13 Range semantics turned into an actual
+    pushed-down scan bound."""
     if ddl == "array<string>":
-        return "strlist", mapdelta_kernel.encode_strlist(s), mapdelta_kernel.strlist_raw_bytes(s)
+        return (
+            "strlist",
+            mapdelta_kernel.encode_strlist(s),
+            mapdelta_kernel.strlist_raw_bytes(s),
+            None,
+            None,
+        )
     if ddl not in _WIDTHS:  # struct<...> / array<...> / map<...> tree
         from ..kernels import nested as nested_kernel
 
@@ -228,11 +241,21 @@ def _encode_typed(s: pd.Series, ddl: str) -> tuple[str, bytes, int]:
             "nested",
             nested_kernel.encode_nested(s, ddl),
             nested_kernel.nested_raw_bytes(s, ddl),
+            None,
+            None,
         )
     raw = _WIDTHS[ddl] * len(s)
     if ddl in ("float", "double"):
-        return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw
-    return "for", api.encode_block(_storage_int64(s, ddl), "for"), raw
+        return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw, None, None
+    st = _storage_int64(s, ddl)
+    zmin, zmax = st.min(), st.max()
+    return (
+        "for",
+        api.encode_block(st, "for"),
+        raw,
+        None if pd.isna(zmin) else int(zmin),
+        None if pd.isna(zmax) else int(zmax),
+    )
 
 
 def _map_raw_bytes(s: pd.Series) -> int:
@@ -340,10 +363,11 @@ def _encode_rows(
             out.append(
                 (part_id, frag_id, col, codec, buf, len(content_arr), raw,
                  len(buf), api.sha256_column_arrow(content_arr, view),
-                 time.time() - t0, run_id)
+                 time.time() - t0, run_id, None, None)
             )
             continue
         s = pdf[col]
+        zmin = zmax = None
         if ddl == "string":
             # one Arrow-buffer pass shared by raw-size, the PLAIN-gate
             # sample, and the content digest
@@ -367,11 +391,11 @@ def _encode_rows(
             raw = _map_raw_bytes(s)
             sha = None
         else:
-            codec, buf, raw = _encode_typed(s, ddl)
+            codec, buf, raw, zmin, zmax = _encode_typed(s, ddl)
             sha = None
         out.append(
             (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
-             time.time() - t0, run_id)
+             time.time() - t0, run_id, zmin, zmax)
         )
     return out
 
@@ -379,6 +403,7 @@ def _encode_rows(
 _BLOCK_COLS = [
     "part_id", "frag_id", "column", "codec", "payload",
     "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s", "run_id",
+    "zmin", "zmax",
 ]
 
 
@@ -387,7 +412,7 @@ def _error_row(part_id: int, frag_id: int, n_rows: int, exc: Exception, run_id: 
     "fail the partition, not the job" (reference taxonomy error.rs)."""
     msg = f"{type(exc).__name__}: {exc}".encode("utf-8", "replace")[:4096]
     return (part_id, frag_id, "*", "error", msg, n_rows, 0, 0, None,
-            time.time() - t0, run_id)
+            time.time() - t0, run_id, None, None)
 
 
 def make_encode_kernel(
@@ -504,6 +529,7 @@ def _block_arrow_schema() -> pa.Schema:
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("sha256", pa.string()), ("wall_s", pa.float64()),
             ("run_id", pa.string()),
+            ("zmin", pa.int64()), ("zmax", pa.int64()),
         ]
     )
 
@@ -1263,6 +1289,30 @@ def history(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def _zone_prune(
+    blocks: DataFrame, wcol: str, lo: int | None, hi: int | None
+) -> DataFrame:
+    """Partition pruning via block zone maps: drop every partition in
+    which NO active fragment's [zmin, zmax] for ``wcol`` intersects
+    [lo, hi].  Blocks without zone maps (pre-round-4 tables, all-null
+    fragments) count as possible matches — pruning is only ever an
+    optimization, never a correctness dependency (the residual row
+    filter still applies after decode)."""
+    if "zmin" not in blocks.columns:
+        return blocks
+    upper_ok = F.lit(True) if hi is None else (F.col("zmin") <= F.lit(int(hi)))
+    lower_ok = F.lit(True) if lo is None else (F.col("zmax") >= F.lit(int(lo)))
+    cond = F.col("zmin").isNull() | (upper_ok & lower_ok)
+    hits = (
+        blocks.filter(F.col("column") == wcol)
+        .groupBy("part_id")
+        .agg(F.max(F.when(cond, 1).otherwise(0)).alias("hit"))
+        .filter(F.col("hit") == 1)
+        .select("part_id")
+    )
+    return blocks.join(F.broadcast(hits), "part_id", "left_semi")
+
+
 def decode(
     spark: SparkSession,
     out_dir: str,
@@ -1273,6 +1323,7 @@ def decode(
     at_version: int | None = None,
     strict: bool = False,
     as_of_gen: int | None = None,
+    where: tuple[str, int | None, int | None] | None = None,
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
 
@@ -1294,6 +1345,16 @@ def decode(
     requested columns are returned).  parts prunes whole partitions via
     the manifest, the partition-pruning analog.
 
+    where=(col, lo, hi) pushes a range predicate on an int-family
+    column INTO the block scan: partitions whose zone maps (per-block
+    min/max recorded at encode, the A13 Range semantics) cannot
+    intersect [lo, hi] are pruned before any kernel runs, and a
+    residual row filter restores exact semantics afterwards.  Either
+    bound may be None (open-ended).  The predicate column is always
+    included in the output (the residual filter reads it).  Tables
+    encoded before zone maps existed decode fine — pruning silently
+    degrades to scan-all.
+
     Version pruning (reference ``to_full_snapshots`` prefix semantics /
     the materialized head, snapshot/delta.rs:81-95,137-151):
     latest_only=True emits ONE row per (key...) — the chain head, the
@@ -1306,6 +1367,10 @@ def decode(
         raise ValueError("latest_only and at_version are mutually exclusive")
     if at_version is not None and at_version < 0:
         raise ValueError("at_version must be >= 0")
+    if where is not None:
+        wcol, wlo, whi = where
+        if wlo is None and whi is None:
+            raise ValueError("where needs at least one of (lo, hi)")
     if strict:
         failed = (
             _manifest_active(spark, os.path.join(out_dir, "manifest"), as_of_gen)
@@ -1323,6 +1388,14 @@ def decode(
             )
     info = read_table_spec(spark, out_dir)
     spec = info["spec"]
+    if where is not None:
+        wddl = dict(spec).get(wcol)
+        if wddl is None:
+            raise ValueError(f"where column {wcol!r} not in table")
+        if wddl not in _INT_DDL and wddl != "boolean":
+            raise ValueError(
+                f"where supports int-family columns; {wcol!r} is {wddl}"
+            )
     version_prune = latest_only or at_version is not None
     if columns is not None:
         unknown = set(columns) - {n for n, _ in spec}
@@ -1331,8 +1404,10 @@ def decode(
         internal = set(columns)
         if info["content_col"] in internal or version_prune:
             internal |= set(info["key_cols"])  # chain seeds / version ids
+        if where is not None:
+            internal.add(wcol)  # the residual filter needs the column
         decode_spec = [(n, d) for n, d in spec if n in internal]
-        out_spec = [(n, d) for n, d in spec if n in set(columns)]
+        out_spec = [(n, d) for n, d in spec if n in set(columns) or (where is not None and n == wcol)]
     else:
         decode_spec = out_spec = spec
     row_schema = ", ".join(f"{name} {ddl}" for name, ddl in out_spec)
@@ -1348,6 +1423,21 @@ def decode(
         blocks = blocks.filter(F.col("column").isin(wanted))
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
+    if where is not None:
+        blocks = _zone_prune(blocks, wcol, wlo, whi)
+
+    def _residual(df: DataFrame) -> DataFrame:
+        if where is None:
+            return df
+        # the zone map pruned PARTITIONS; exact row semantics come from
+        # this residual filter over the decoded column
+        pred = F.lit(True)
+        if wlo is not None:
+            pred = pred & (F.col(wcol) >= F.lit(int(wlo)))
+        if whi is not None:
+            pred = pred & (F.col(wcol) <= F.lit(int(whi)))
+        return df.filter(pred)
+
     if with_part_id:
 
         def kernel_with_part(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1355,10 +1445,12 @@ def decode(
             out.insert(0, "part_id", int(pdf["part_id"].iloc[0]))
             return out
 
-        return blocks.groupBy("part_id").applyInPandas(
-            kernel_with_part, f"part_id long, {row_schema}"
+        return _residual(
+            blocks.groupBy("part_id").applyInPandas(
+                kernel_with_part, f"part_id long, {row_schema}"
+            )
         )
-    return blocks.groupBy("part_id").applyInPandas(kernel, row_schema)
+    return _residual(blocks.groupBy("part_id").applyInPandas(kernel, row_schema))
 
 
 # ------------------------------------------------------------- J3 verify ----

@@ -345,3 +345,54 @@ def test_randomized_typed_tables_roundtrip(spark, tmp_path_factory):
         assert all(r["status"] == "committed" for r in manifest.collect()), seed
         report = verify(spark, df, decode(spark, out))
         assert report["ok"], (seed, report)
+
+
+def test_zone_map_pruning(spark, tmp_path_factory):
+    """decode(where=...): zone maps recorded at encode prune whole
+    partitions from the block table; a residual row filter restores
+    exact range semantics; pre-zone-map tables and error paths hold."""
+    import pytest
+
+    from deltoid_spark.jobs import decode, encode
+
+    rows = []
+    for r in range(4):  # repos with disjoint size ranges
+        for i in range(300):
+            rows.append(
+                (f"org/r{r}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+                 f"content {r} {i}", r * 1000 + i)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, size bigint",
+    )
+    out = str(tmp_path_factory.mktemp("zone"))
+    encode(spark, df, out, target_rows=300)
+
+    got = decode(spark, out, where=("size", 1000, 1999)).collect()
+    assert len(got) == 300
+    assert all(1000 <= r["size"] <= 1999 for r in got)
+
+    pruned = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True, where=("size", 1000, 1999))
+        .select("part_id").distinct().collect()
+    }
+    allp = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True)
+        .select("part_id").distinct().collect()
+    }
+    assert pruned < allp, (sorted(pruned), sorted(allp))
+
+    # open-ended bound + column projection (predicate column rides along)
+    hi = decode(spark, out, columns=["size"], where=("size", 3000, None))
+    assert hi.columns == ["size"] and hi.count() == 300
+
+    with pytest.raises(ValueError, match="int-family"):
+        decode(spark, out, where=("lang", 0, 1))
+    with pytest.raises(ValueError, match="at least one"):
+        decode(spark, out, where=("size", None, None))
+    with pytest.raises(ValueError, match="not in table"):
+        decode(spark, out, where=("nope", 0, 1))
