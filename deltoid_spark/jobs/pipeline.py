@@ -1392,10 +1392,24 @@ def decode(
         wddl = dict(spec).get(wcol)
         if wddl is None:
             raise ValueError(f"where column {wcol!r} not in table")
-        if wddl not in _INT_DDL and wddl != "boolean":
+        if wddl not in _INT_DDL and wddl not in ("boolean", "timestamp", "date"):
             raise ValueError(
-                f"where supports int-family columns; {wcol!r} is {wddl}"
+                f"where supports int/boolean/timestamp/date columns; "
+                f"{wcol!r} is {wddl}"
             )
+
+        def _zbound(v):
+            """Predicate bound -> the zone map's int64 storage space
+            (same mapping _storage_int64 applies at encode)."""
+            if v is None:
+                return None
+            if wddl == "timestamp":
+                return int(pd.Timestamp(v).value)  # epoch ns
+            if wddl == "date":
+                return int(pd.Timestamp(v).value // _NS_PER_DAY)
+            return int(v)
+
+        zlo, zhi = _zbound(wlo), _zbound(whi)
     version_prune = latest_only or at_version is not None
     if columns is not None:
         unknown = set(columns) - {n for n, _ in spec}
@@ -1424,18 +1438,26 @@ def decode(
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     if where is not None:
-        blocks = _zone_prune(blocks, wcol, wlo, whi)
+        blocks = _zone_prune(blocks, wcol, zlo, zhi)
 
     def _residual(df: DataFrame) -> DataFrame:
         if where is None:
             return df
         # the zone map pruned PARTITIONS; exact row semantics come from
-        # this residual filter over the decoded column
+        # this residual filter over the decoded column (timestamp/date
+        # bounds compare as their native types)
+        def _lit(v):
+            if wddl == "timestamp":
+                return F.lit(pd.Timestamp(v).to_pydatetime())
+            if wddl == "date":
+                return F.lit(pd.Timestamp(v).date())
+            return F.lit(int(v))
+
         pred = F.lit(True)
         if wlo is not None:
-            pred = pred & (F.col(wcol) >= F.lit(int(wlo)))
+            pred = pred & (F.col(wcol) >= _lit(wlo))
         if whi is not None:
-            pred = pred & (F.col(wcol) <= F.lit(int(whi)))
+            pred = pred & (F.col(wcol) <= _lit(whi))
         return df.filter(pred)
 
     if with_part_id:

@@ -390,9 +390,45 @@ def test_zone_map_pruning(spark, tmp_path_factory):
     hi = decode(spark, out, columns=["size"], where=("size", 3000, None))
     assert hi.columns == ["size"] and hi.count() == 300
 
-    with pytest.raises(ValueError, match="int-family"):
+    with pytest.raises(ValueError, match="where supports"):
         decode(spark, out, where=("lang", 0, 1))
     with pytest.raises(ValueError, match="at least one"):
         decode(spark, out, where=("size", None, None))
     with pytest.raises(ValueError, match="not in table"):
         decode(spark, out, where=("nope", 0, 1))
+
+
+def test_zone_map_pruning_timestamps(spark, tmp_path_factory):
+    """where over a timestamp column: bounds convert through the same
+    storage mapping the zone maps use; residual filter compares native
+    timestamps."""
+    from datetime import datetime
+
+    from deltoid_spark.jobs import decode, encode
+
+    rows = []
+    for r in range(3):
+        for i in range(200):
+            rows.append(
+                (f"org/r{r}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+                 f"c {r} {i}", datetime(2024, 1 + r, 1, 0, 0, i % 60))
+            )
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, mtime timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("zonets"))
+    encode(spark, df, out, target_rows=200)
+
+    got = decode(
+        spark, out, where=("mtime", datetime(2024, 2, 1), datetime(2024, 2, 28))
+    ).collect()
+    assert len(got) == 200
+    assert all(r["mtime"].month == 2 for r in got)
+    pruned = decode(
+        spark, out, with_part_id=True,
+        where=("mtime", datetime(2024, 2, 1), datetime(2024, 2, 28)),
+    ).select("part_id").distinct().count()
+    allp = decode(spark, out, with_part_id=True).select("part_id").distinct().count()
+    assert pruned < allp
