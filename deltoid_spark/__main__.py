@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--dest", required=True)
     dec.add_argument("--as-of-gen", type=int, default=None,
                      help="time travel: read as of this manifest generation")
+    dec.add_argument("--where", default=None, metavar="COL:LO:HI",
+                     help="zone-map-pruned range predicate on an int-family "
+                          "column; empty LO or HI = open-ended")
 
     his = sub.add_parser("history", help="commit log: one row per generation")
     his.add_argument("--out", required=True)
@@ -97,7 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "vacuum":
             print(json.dumps(vacuum(spark, args.out)))
         elif args.cmd == "decode":
-            decode(spark, args.out, as_of_gen=args.as_of_gen).write.mode(
+            where = None
+            if args.where:
+                col, lo, hi = args.where.split(":", 2)
+                where = (col, int(lo) if lo else None, int(hi) if hi else None)
+            decode(spark, args.out, as_of_gen=args.as_of_gen, where=where).write.mode(
                 "overwrite"
             ).parquet(args.dest)
             print(json.dumps({"written": args.dest}))

@@ -407,6 +407,18 @@ _BLOCK_COLS = [
 ]
 
 
+def _block_frame(rows: list[tuple]) -> pd.DataFrame:
+    """Block rows -> DataFrame with the zone-map columns as EXACT
+    nullable Int64 (tuple-list inference would make a None+int column
+    float64 and silently truncate |v| >= 2^53 — the same lossy boundary
+    ADVICE r02 closed on the data path)."""
+    df = pd.DataFrame(rows, columns=_BLOCK_COLS)
+    zi = _BLOCK_COLS.index("zmin")
+    df["zmin"] = pd.array([r[zi] for r in rows], dtype="Int64")
+    df["zmax"] = pd.array([r[zi + 1] for r in rows], dtype="Int64")
+    return df
+
+
 def _error_row(part_id: int, frag_id: int, n_rows: int, exc: Exception, run_id: str, t0: float) -> tuple:
     """A failed partition becomes one manifest-visible error record —
     "fail the partition, not the job" (reference taxonomy error.rs)."""
@@ -449,7 +461,7 @@ def make_encode_kernel(
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             rows = [_error_row(part_id, 0, len(pdf), exc, run_id, t0)]
         return pa.Table.from_pandas(
-            pd.DataFrame(rows, columns=_BLOCK_COLS),
+            _block_frame(rows),
             schema=_block_arrow_schema(), preserve_index=False,
         )
 
@@ -514,7 +526,7 @@ def make_fragment_kernel(
                 )
             except Exception as exc:  # noqa: BLE001
                 rows.append(_error_row(int(part_id), frag_id, len(sub), exc, run_id, t0))
-        out = pd.DataFrame(rows, columns=_BLOCK_COLS)
+        out = _block_frame(rows)
         yield pa.RecordBatch.from_pandas(out, schema=_block_arrow_schema())
 
     return encode_split
@@ -926,7 +938,7 @@ def make_append_kernel(
         except Exception as exc:  # noqa: BLE001
             rows = [_error_row(part_id, frag_id, len(left), exc, run_id, t0)]
         return pa.Table.from_pandas(
-            pd.DataFrame(rows, columns=_BLOCK_COLS),
+            _block_frame(rows),
             schema=_block_arrow_schema(), preserve_index=False,
         )
 
