@@ -50,8 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--as-of-gen", type=int, default=None,
                      help="time travel: read as of this manifest generation")
     dec.add_argument("--where", default=None, metavar="COL:LO:HI",
-                     help="zone-map-pruned range predicate on an int-family "
-                          "column; empty LO or HI = open-ended")
+                     help="zone-map-pruned range predicate; empty LO or HI = "
+                          "open-ended.  Bounds may be ints or any string "
+                          "pandas parses as a timestamp/date.  Use '|' as the "
+                          "separator instead (COL|LO|HI) when a bound itself "
+                          "contains ':' (e.g. a full timestamp).")
 
     his = sub.add_parser("history", help="commit log: one row per generation")
     his.add_argument("--out", required=True)
@@ -102,8 +105,24 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             where = None
             if args.where:
-                col, lo, hi = args.where.split(":", 2)
-                where = (col, int(lo) if lo else None, int(hi) if hi else None)
+                # '|' wins when present so full timestamps ("…T10:00:00")
+                # survive; bounds fall back from int to the raw string
+                # (decode's _zbound accepts pd.Timestamp-parseable text).
+                sep = "|" if "|" in args.where else ":"
+                try:
+                    col, lo, hi = args.where.split(sep, 2)
+                except ValueError:
+                    ap.error(f"--where wants COL{sep}LO{sep}HI, got {args.where!r}")
+
+                def _bound(s: str):
+                    if not s:
+                        return None
+                    try:
+                        return int(s)
+                    except ValueError:
+                        return s
+
+                where = (col, _bound(lo), _bound(hi))
             decode(spark, args.out, as_of_gen=args.as_of_gen, where=where).write.mode(
                 "overwrite"
             ).parquet(args.dest)

@@ -454,11 +454,18 @@ def strip_boilerplate_lines(docs: DataFrame, max_df: int = 2) -> DataFrame:
     without shipping document bodies through the compare.
 
     Scale shape: lines are hashed to 60-bit ints BEFORE the
-    doc-frequency shuffle (the q26 shuffle-weight cut), the heavy-
-    hitter set (df > max_df) is small by definition and broadcasts
-    into a left-anti join, and reassembly is one map-side-combinable
-    per-doc aggregate (array_sort on (position, line) structs -> join)
-    — no global sort, no self-join.
+    doc-frequency shuffle (the q26 shuffle-weight cut).  The heavy-
+    hitter set (df > max_df) is NOT small by definition — on a web
+    corpus with a low max_df it contains every shared license header
+    and brace line, billions of entries — so it is removed with a
+    SHUFFLE left-anti join on the hash-uniform 60-bit key, never a
+    forced broadcast.  The size gating is left to AQE: when runtime
+    stats show the set actually is under the broadcast threshold,
+    adaptive execution converts the anti join to a broadcast one for
+    free; when it isn't, the shuffle plan stands and no driver OOM is
+    possible.  Reassembly is one map-side-combinable per-doc aggregate
+    (array_sort on (position, line) structs -> join) — no global sort,
+    no self-join.
     """
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("ln", "line")
@@ -471,7 +478,7 @@ def strip_boilerplate_lines(docs: DataFrame, max_df: int = 2) -> DataFrame:
         )
     )
     bad = dfreq.filter(F.col("df") > max_df).select("lh")
-    kept = lines.join(F.broadcast(bad), "lh", "left_anti")
+    kept = lines.join(bad, "lh", "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.md5(

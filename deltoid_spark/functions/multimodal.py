@@ -722,15 +722,26 @@ def media_probe(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 p = bytes(payload)
-                if p[4:8] == b"ftyp":
-                    d = probe_mp4(p)
-                    rows.append((mid, "mp4", len(p), d["duration_ms"],
-                                 d["n_tracks"], d["width"], d["height"]))
-                elif p[:1] == b"\xff":
-                    d = probe_mp3(p)
-                    rows.append((mid, "mp3", len(p), d["duration_ms"],
-                                 d["n_frames"], d["bitrate_kbps"], d["sample_rate"]))
-                else:
+                # A probe is route-and-filter: one malformed payload must
+                # yield an 'unknown' row, never kill the task — the strict
+                # raising parsers stay for decode paths, the probe demotes
+                # their failures.  JPEG streams also start 0xFF (SOI =
+                # FF D8), so that sniff precedes the MP3 branch.
+                try:
+                    if p[4:8] == b"ftyp":
+                        d = probe_mp4(p)
+                        rows.append((mid, "mp4", len(p), d["duration_ms"],
+                                     d["n_tracks"], d["width"], d["height"]))
+                    elif p[:2] == b"\xff\xd8":
+                        rows.append((mid, "jpeg", len(p), 0, 1, 0, 0))
+                    elif p[:1] == b"\xff":
+                        d = probe_mp3(p)
+                        rows.append((mid, "mp3", len(p), d["duration_ms"],
+                                     d["n_frames"], d["bitrate_kbps"],
+                                     d["sample_rate"]))
+                    else:
+                        rows.append((mid, "unknown", len(p), 0, 0, 0, 0))
+                except (ValueError, IndexError, struct.error):
                     rows.append((mid, "unknown", len(p), 0, 0, 0, 0))
             yield pd.DataFrame(
                 rows,

@@ -97,12 +97,17 @@ def run_length_profile(
     )
     # ONE window pass over the data tags each row with its in-bucket
     # position, whether it STARTS a run, and the bucket size (a
-    # full-frame COUNT in the SAME exchange+sort — safe to buffer
-    # because buckets are capped at bucket_size rows by construction,
-    # a constant independent of table size; this replaces the separate
-    # full-scan aggregate + join the round-3 version paid).  Everything
-    # after the filter below is runs-sized (one row per value change),
-    # so no full-data aggregation ever runs.
+    # full-frame COUNT in the SAME exchange+sort — this replaces the
+    # separate full-scan aggregate + join the round-3 version paid).
+    # The buffered frame is bounded by bucket_size DISTINCT KEYS times
+    # the max rows per key — floor(key/bucket_size) caps keys, not
+    # rows — so the bound is a constant only when rows-per-key is
+    # bounded (true for the versioned-table shape this serves: rows
+    # per key = version count; q03's lineitem has <= 7 per order).
+    # For unbounded rows-per-key inputs, shrink bucket_size or revert
+    # to the separate map-side COUNT aggregate.  Everything after the
+    # filter below is runs-sized (one row per value change), so no
+    # full-data aggregation ever runs.
     rows = b.select(
         "bucket",
         "value",

@@ -196,7 +196,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
+def lm_coverage(docs: DataFrame, ref_mod: int = 10, ref_top_k: int = 1_000_000) -> DataFrame:
     """Character-trigram LM coverage score — the CCNet-style quality
     proxy (Wenzek et al. 2020 score documents by an in-domain LM;
     here the "model" is the trigram table of a deterministic in-domain
@@ -210,10 +210,18 @@ def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
     the reference distribution).  Low seen_permille / avg_ref_count
     flags boilerplate, non-language, or out-of-domain text.
 
-    Scale shape: the reference table is alphabet-bounded (distinct
-    trigrams), so it BROADCASTS; the corpus side never shuffles by
-    trigram — one map-side-combinable per-doc aggregate is the only
-    exchange.  Float division appears ONLY after the integer sums, as
+    Scale shape: distinct trigrams are alphabet-bounded only for
+    narrow charsets (ASCII/code); over a CJK/unicode web corpus they
+    are effectively unbounded, so the reference table is HARD-CAPPED
+    at the ``ref_top_k`` most frequent trigrams (deterministic
+    tie-break: count desc, hash asc) before it broadcasts — at the
+    default 1M that is a <=16 MB broadcast of (long, long) rows, and
+    the cap is also the model truncation an n-gram LM would apply
+    anyway (rare trigrams carry no coverage signal).  The top-K is a
+    TakeOrdered (per-partition heaps + one driver merge), never a
+    global sort.  The corpus side never shuffles by trigram — one
+    map-side-combinable per-doc aggregate is the only exchange.
+    Float division appears ONLY after the integer sums, as
     floor(sum/count) with both operands exact — identical doubles in
     Spark and DuckDB.
     """
@@ -237,6 +245,8 @@ def lm_coverage(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
         tri.filter(F.col("doc_id") % ref_mod == 0)
         .groupBy("g")
         .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g").asc())
+        .limit(ref_top_k)
     )
     return (
         tri.join(F.broadcast(ref), "g", "left")

@@ -47,6 +47,7 @@ import uuid
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -76,7 +77,7 @@ DEFAULT_CONTENT_COL = "content"
 BLOCK_SCHEMA = (
     "part_id long, frag_id long, column string, codec string, payload binary, "
     "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double, "
-    "run_id string, zmin long, zmax long"
+    "run_id string, zmin long, zmax long, smin string, smax string"
 )
 
 ROW_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -215,6 +216,50 @@ def _arrow_content_col(
     if content_col is not None and dict(spec).get(content_col) == "string":
         return (content_col,)
     return ()
+
+
+_SZONE_PREFIX = 64
+
+
+def _string_zone(arr: pa.Array) -> tuple[str | None, str | None]:
+    """(smin, smax) zone bounds for a string column, or None when a
+    bound can't be recorded safely.
+
+    Collation safety: a bound is recorded ONLY if it is pure ASCII.
+    Comparing an ASCII string against ANY string gives the same answer
+    under UTF-8 byte order (Arrow/Python, used here at encode), UTF-16
+    code-unit order (the JVM comparison Spark runs for both the prune
+    join and the residual filter), and code-point order — the three
+    orderings only disagree between non-ASCII strings (supplementary
+    vs [U+E000, U+FFFF] chars).  So an ASCII bound can never prune a
+    partition whose rows a Spark filter would keep; a non-ASCII min or
+    max simply drops that bound (null = unprunable side).
+
+    Bounded metadata: values truncate to a 64-char prefix.  A prefix
+    of the min is still a valid lower bound; for the max the last
+    prefix char is incremented (strictly above everything sharing the
+    prefix), falling back to null if that would leave ASCII.
+    """
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return None, None
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+
+    def _bound(v: str, is_max: bool) -> str | None:
+        if not v.isascii():
+            return None
+        if len(v) <= _SZONE_PREFIX:
+            return v
+        p = v[:_SZONE_PREFIX]
+        if not is_max:
+            return p
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i])
+            if c < 0x7F:
+                return p[:i] + chr(c + 1)
+        return None
+
+    return _bound(lo, False), _bound(hi, True)
 
 
 def _encode_typed(
@@ -363,15 +408,17 @@ def _encode_rows(
             out.append(
                 (part_id, frag_id, col, codec, buf, len(content_arr), raw,
                  len(buf), api.sha256_column_arrow(content_arr, view),
-                 time.time() - t0, run_id, None, None)
+                 time.time() - t0, run_id, None, None, None, None)
             )
             continue
         s = pdf[col]
         zmin = zmax = None
+        smin = smax = None
         if ddl == "string":
-            # one Arrow-buffer pass shared by raw-size, the PLAIN-gate
-            # sample, and the content digest
-            view = strings.utf8_view(s)
+            # one Arrow conversion shared by raw-size, the PLAIN-gate
+            # sample, the content digest, and the string zone map
+            arr = pa.Array.from_pandas(s, type=pa.large_utf8())
+            view = strings.arrow_utf8_view(arr)
             raw = int(view[0].sum())
             if col == content_col and (len(gsizes) < len(s) or tails):
                 codec, buf = _encode_content(
@@ -381,6 +428,12 @@ def _encode_rows(
             else:
                 codec, _stats, buf = selector.select_and_encode(s)
             sha = api.sha256_column(s, view) if col == content_col else None
+            if col != content_col:
+                # dimension-style string columns (repo/path/lang) get
+                # (smin, smax) zone bounds — the dominant predicate
+                # class over a code corpus ("this repo only"); chained
+                # content bodies don't (not a range-predicate target)
+                smin, smax = _string_zone(arr)
         elif ddl == "map<string,string>":
             # keyed Add/Edit/Remove chains over the same group layout the
             # content column uses (reference HashMap::delta)
@@ -395,7 +448,7 @@ def _encode_rows(
             sha = None
         out.append(
             (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
-             time.time() - t0, run_id, zmin, zmax)
+             time.time() - t0, run_id, zmin, zmax, smin, smax)
         )
     return out
 
@@ -403,7 +456,7 @@ def _encode_rows(
 _BLOCK_COLS = [
     "part_id", "frag_id", "column", "codec", "payload",
     "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s", "run_id",
-    "zmin", "zmax",
+    "zmin", "zmax", "smin", "smax",
 ]
 
 
@@ -424,7 +477,7 @@ def _error_row(part_id: int, frag_id: int, n_rows: int, exc: Exception, run_id: 
     "fail the partition, not the job" (reference taxonomy error.rs)."""
     msg = f"{type(exc).__name__}: {exc}".encode("utf-8", "replace")[:4096]
     return (part_id, frag_id, "*", "error", msg, n_rows, 0, 0, None,
-            time.time() - t0, run_id, None, None)
+            time.time() - t0, run_id, None, None, None, None)
 
 
 def make_encode_kernel(
@@ -542,6 +595,7 @@ def _block_arrow_schema() -> pa.Schema:
             ("sha256", pa.string()), ("wall_s", pa.float64()),
             ("run_id", pa.string()),
             ("zmin", pa.int64()), ("zmax", pa.int64()),
+            ("smin", pa.string()), ("smax", pa.string()),
         ]
     )
 
@@ -795,9 +849,15 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
 
 def _read_blocks(spark: SparkSession, blocks_path: str) -> DataFrame:
     """Typed read of the blocks dir; an all-empty run (partitionBy on an
-    empty frame) writes no files at all, which reads as an empty table."""
+    empty frame) writes no files at all, which reads as an empty table.
+
+    mergeSchema: appends from newer versions may carry columns (zmin/
+    zmax/smin/smax zone maps) that pre-existing footers lack — without
+    merging, the inferred schema depends on which footer Spark samples,
+    so pruning would nondeterministically disappear and a vacuum rewrite
+    could permanently drop the zone-map columns."""
     if _exists(spark, blocks_path):
-        return spark.read.parquet(blocks_path)
+        return spark.read.option("mergeSchema", "true").parquet(blocks_path)
     return spark.createDataFrame([], BLOCK_SCHEMA)
 
 
@@ -1302,19 +1362,34 @@ def history(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _zone_prune(
-    blocks: DataFrame, wcol: str, lo: int | None, hi: int | None
+    blocks: DataFrame,
+    wcol: str,
+    lo,
+    hi,
+    string_kind: bool = False,
 ) -> DataFrame:
     """Partition pruning via block zone maps: drop every partition in
-    which NO active fragment's [zmin, zmax] for ``wcol`` intersects
-    [lo, hi].  Blocks without zone maps (pre-round-4 tables, all-null
-    fragments) count as possible matches — pruning is only ever an
-    optimization, never a correctness dependency (the residual row
-    filter still applies after decode)."""
-    if "zmin" not in blocks.columns:
+    which NO active fragment's [min, max] for ``wcol`` intersects
+    [lo, hi].  Int-family columns prune on (zmin, zmax) in int64
+    storage space; string columns on the ASCII-gated (smin, smax)
+    bounds (see _string_zone — collation-safe by construction).
+    Blocks without zone maps (pre-zone-map tables, all-null fragments,
+    non-ASCII string extremes) count as possible matches — pruning is
+    only ever an optimization, never a correctness dependency (the
+    residual row filter still applies after decode)."""
+    mn, mx = ("smin", "smax") if string_kind else ("zmin", "zmax")
+    if mn not in blocks.columns:
         return blocks
-    upper_ok = F.lit(True) if hi is None else (F.col("zmin") <= F.lit(int(hi)))
-    lower_ok = F.lit(True) if lo is None else (F.col("zmax") >= F.lit(int(lo)))
-    cond = F.col("zmin").isNull() | (upper_ok & lower_ok)
+    lit = (lambda v: F.lit(str(v))) if string_kind else (lambda v: F.lit(int(v)))
+    # each bound checks null independently: a one-sided zone (e.g. a
+    # truncation-dropped smax) still prunes on its recorded side
+    upper_ok = (
+        F.lit(True) if hi is None else (F.col(mn).isNull() | (F.col(mn) <= lit(hi)))
+    )
+    lower_ok = (
+        F.lit(True) if lo is None else (F.col(mx).isNull() | (F.col(mx) >= lit(lo)))
+    )
+    cond = upper_ok & lower_ok
     hits = (
         blocks.filter(F.col("column") == wcol)
         .groupBy("part_id")
@@ -1357,15 +1432,15 @@ def decode(
     requested columns are returned).  parts prunes whole partitions via
     the manifest, the partition-pruning analog.
 
-    where=(col, lo, hi) pushes a range predicate on an int-family
-    column INTO the block scan: partitions whose zone maps (per-block
-    min/max recorded at encode, the A13 Range semantics) cannot
-    intersect [lo, hi] are pruned before any kernel runs, and a
-    residual row filter restores exact semantics afterwards.  Either
-    bound may be None (open-ended).  The predicate column is always
-    included in the output (the residual filter reads it).  Tables
-    encoded before zone maps existed decode fine — pruning silently
-    degrades to scan-all.
+    where=(col, lo, hi) pushes a range predicate on an int-family OR
+    string column INTO the block scan: partitions whose zone maps
+    (per-block min/max recorded at encode, the A13 Range semantics;
+    ASCII-gated smin/smax for strings) cannot intersect [lo, hi] are
+    pruned before any kernel runs, and a residual row filter restores
+    exact semantics afterwards.  Either bound may be None
+    (open-ended).  The predicate column is always included in the
+    output (the residual filter reads it).  Tables encoded before zone
+    maps existed decode fine — pruning silently degrades to scan-all.
 
     Version pruning (reference ``to_full_snapshots`` prefix semantics /
     the materialized head, snapshot/delta.rs:81-95,137-151):
@@ -1404,17 +1479,23 @@ def decode(
         wddl = dict(spec).get(wcol)
         if wddl is None:
             raise ValueError(f"where column {wcol!r} not in table")
-        if wddl not in _INT_DDL and wddl not in ("boolean", "timestamp", "date"):
+        if wddl not in _INT_DDL and wddl not in (
+            "boolean", "timestamp", "date", "string"
+        ):
             raise ValueError(
-                f"where supports int/boolean/timestamp/date columns; "
+                f"where supports int/boolean/timestamp/date/string columns; "
                 f"{wcol!r} is {wddl}"
             )
 
         def _zbound(v):
-            """Predicate bound -> the zone map's int64 storage space
-            (same mapping _storage_int64 applies at encode)."""
+            """Predicate bound -> the zone map's comparison space: int64
+            storage values for int-family columns (same mapping
+            _storage_int64 applies at encode), the raw string for
+            string columns (ASCII-gated smin/smax compare directly)."""
             if v is None:
                 return None
+            if wddl == "string":
+                return str(v)
             if wddl == "timestamp":
                 return int(pd.Timestamp(v).value)  # epoch ns
             if wddl == "date":
@@ -1450,7 +1531,7 @@ def decode(
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     if where is not None:
-        blocks = _zone_prune(blocks, wcol, zlo, zhi)
+        blocks = _zone_prune(blocks, wcol, zlo, zhi, string_kind=(wddl == "string"))
 
     def _residual(df: DataFrame) -> DataFrame:
         if where is None:
@@ -1459,6 +1540,8 @@ def decode(
         # this residual filter over the decoded column (timestamp/date
         # bounds compare as their native types)
         def _lit(v):
+            if wddl == "string":
+                return F.lit(str(v))
             if wddl == "timestamp":
                 return F.lit(pd.Timestamp(v).to_pydatetime())
             if wddl == "date":

@@ -534,8 +534,11 @@ ORDER BY doc_id
 def _q45_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc char-trigram coverage vs a
     deterministic in-domain reference slice (functions/text.py
-    lm_coverage) — integer statistics only, so cross-engine exact."""
-    return text.lm_coverage(load(spark, sf_dir, "documents"))
+    lm_coverage) — integer statistics only, so cross-engine exact.
+    The reference table carries the scale cap (top-1M trigrams, count
+    desc / hash asc tie-break); the oracle applies the same LIMIT, so
+    the cap semantics are value-checked, not just present."""
+    return text.lm_coverage(load(spark, sf_dir, "documents"), ref_top_k=1_000_000)
 
 
 _Q45_ORACLE = """
@@ -547,7 +550,9 @@ WITH tri AS (
                unnest(generate_series(1, greatest(1, length(text) - 2))) AS i
         FROM documents)),
 ref AS (
-  SELECT g, COUNT(*) AS c FROM tri WHERE doc_id % 10 = 0 GROUP BY g)
+  SELECT g, c FROM (
+    SELECT g, COUNT(*) AS c FROM tri WHERE doc_id % 10 = 0 GROUP BY g)
+  ORDER BY c DESC, g ASC LIMIT 1000000)
 SELECT t.doc_id,
        COUNT(*) AS n_tri,
        CAST(FLOOR(SUM(CASE WHEN r.c IS NOT NULL THEN 1 ELSE 0 END) * 1000
@@ -557,6 +562,58 @@ SELECT t.doc_id,
 FROM tri t LEFT JOIN ref r USING (g)
 GROUP BY t.doc_id
 ORDER BY doc_id
+"""
+
+
+def _q49_string_zone_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String zone maps end-to-end (A13 Range over string columns):
+    encode a code-shaped table derived from `documents`, then
+    decode(where=("repo", lo, hi)) — the block scan prunes partitions
+    via the ASCII-gated (smin, smax) bounds recorded at encode and the
+    residual filter restores exact range semantics.  The oracle
+    recomputes the same aggregate with a plain WHERE over the derived
+    repo value, so the whole prune+residual+decode path is
+    value-checked cross-engine (the pruned-partition-count property is
+    pinned separately in test_zone_map_pruning_strings)."""
+    from .jobs import decode, encode
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    df = docs.select(
+        F.concat(
+            F.lit("org/repo-"),
+            F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0"),
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt"))
+        .alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("n_chars").alias("size"),
+    )
+    out = tempfile.mkdtemp(prefix="dsq49_")
+    encode(spark, df, out, target_rows=200)
+    dec = decode(spark, out, where=("repo", "org/repo-05", "org/repo-14"))
+    return (
+        dec.groupBy("repo")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("size").alias("sum_size"),
+            F.min("path").alias("min_path"),
+        )
+        .orderBy("repo")
+    )
+
+
+_Q49_ORACLE = """
+SELECT repo, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_size,
+       MIN(path) AS min_path
+FROM (SELECT concat('org/repo-', lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')) AS repo,
+             concat('src/f', CAST(doc_id AS VARCHAR), '.txt') AS path,
+             n_chars
+      FROM documents WHERE doc_id % 7 = 0)
+WHERE repo >= 'org/repo-05' AND repo <= 'org/repo-14'
+GROUP BY repo ORDER BY repo
 """
 
 
@@ -1196,16 +1253,35 @@ LIMIT 10
 
 
 def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full J1 on the synthetic code table; returns per-partition metrics."""
+    """Full J1 on the synthetic code table; returns per-partition metrics.
+
+    enc_bytes is reported as a within-2%-of-golden boolean rather than
+    the raw byte count: the exact zstd frame size is a property of the
+    compression library build, not of this engine, so pinning it would
+    hard-fail fully-correct code on a zstd/pyarrow version bump.  The
+    engine-owned facts — partitioning, row counts, raw sizes, codec
+    selections, status — stay exact-pinned."""
     from .fixtures import codegen
     from .jobs import encode
 
     pdf = codegen.generate(2_000)
     out = tempfile.mkdtemp(prefix="dsq21_")
     manifest = encode(spark, spark.createDataFrame(pdf), out, target_rows=500)
-    return manifest.select(
-        "part_id", "n_rows", "raw_bytes", "enc_bytes", "codecs", "status"
-    ).orderBy("part_id")
+    golden = spark.createDataFrame(
+        [(p, e) for p, _, _, e, _, _ in _Q21_GOLDEN], "part_id long, golden_enc long"
+    )
+    return (
+        manifest.join(F.broadcast(golden), "part_id", "left")
+        .select(
+            "part_id", "n_rows", "raw_bytes",
+            (
+                F.abs(F.col("enc_bytes") - F.col("golden_enc")) * 50
+                <= F.col("golden_enc")
+            ).alias("enc_within_2pct"),
+            "codecs", "status",
+        )
+        .orderBy("part_id")
+    )
 
 
 # q21's output is fully deterministic: fixed-seed fixture (codegen seed
@@ -1213,9 +1289,11 @@ def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic partition assignment — so a stored-golden VALUES oracle
 # is a true value check (the engine re-derives every cell; only
 # wall-clock-bearing outputs like q22's remain rows-only).  Golden rows
-# re-derived 2026-08-17; any codec-selector or framing change that
-# moves a byte legitimately must update them (the golden-sha kernel
-# tests pin the same property at block level).
+# re-derived 2026-08-17.  enc_bytes goldens are compared with a 2%
+# tolerance (see _q21_encode_metrics) because the exact zstd frame size
+# belongs to the compression library, not the engine; a deliberate
+# selector/framing change still surfaces via the exact-pinned codecs/
+# raw_bytes columns and the golden-sha kernel tests.
 _Q21_GOLDEN = [
     (0, 498, 1411954, 66250,
      '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
@@ -1237,14 +1315,14 @@ _Q21_GOLDEN = [
 
 def _q21_oracle() -> str:
     rows = ",\n  ".join(
-        f"({p}, {n}, {r}, {e}, '{c}', '{s}')" for p, n, r, e, c, s in _Q21_GOLDEN
+        f"({p}, {n}, {r}, TRUE, '{c}', '{s}')" for p, n, r, _, c, s in _Q21_GOLDEN
     )
     return f"""
 SELECT CAST(part_id AS BIGINT) AS part_id, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(raw_bytes AS BIGINT) AS raw_bytes, CAST(enc_bytes AS BIGINT) AS enc_bytes,
+       CAST(raw_bytes AS BIGINT) AS raw_bytes, enc_within_2pct,
        codecs, status
 FROM (VALUES
-  {rows}) AS t(part_id, n_rows, raw_bytes, enc_bytes, codecs, status)
+  {rows}) AS t(part_id, n_rows, raw_bytes, enc_within_2pct, codecs, status)
 ORDER BY part_id
 """
 
@@ -1354,6 +1432,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q46_line_dedup": (_q46_line_dedup, _Q46_ORACLE),
     "q47_pii_scrub": (_q47_pii_scrub, _q47_oracle()),
     "q48_mp4_frames": (_q48_mp4_frames, _q48_oracle()),
+    "q49_string_zone_decode": (_q49_string_zone_decode, _Q49_ORACLE),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

@@ -202,6 +202,39 @@ def test_strip_boilerplate_lines_exact(spark):
     assert all(r["n_kept"] == r["n_lines"] for r in kept)
 
 
+def test_strip_boilerplate_heavy_hitters_never_forced_broadcast(spark):
+    """The heavy-hitter line set is unbounded on a web corpus, so the
+    anti join must survive with broadcasts disabled outright: same
+    answers, and the planned anti join is a shuffle join, not a
+    BroadcastHashJoin (the plan the driver would OOM on at 100 TB).
+    With default confs AQE may still size-gate a genuinely small set
+    into a broadcast at runtime — that conversion is the documented
+    fast path, not a dependency."""
+    import hashlib
+
+    # every doc shares 40 boilerplate lines -> the bad set is ~40 rows
+    # here but df-heavy by construction (df = n_docs for each)
+    boiler = "\n".join(f"chrome line {j}" for j in range(40))
+    rows = [(i, f"{boiler}\nunique body {i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.strip_boilerplate_lines(docs, max_df=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert not any("Broadcast" in ln for ln in anti), anti
+        got = {r["doc_id"]: r for r in out.collect()}
+        for i in range(30):
+            assert got[i]["n_lines"] == 41 and got[i]["n_kept"] == 1
+            assert got[i]["cleaned_md5"] == hashlib.md5(
+                f"unique body {i}".encode()
+            ).hexdigest()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_pii_scrub_masks_planted_pii(spark):
     import hashlib
 
@@ -243,6 +276,51 @@ def test_lm_coverage_flags_out_of_domain(spark):
     assert all(r["n_tri"] > 0 for r in got.values())
 
 
+def test_lm_coverage_ref_top_k_cap_wide_charset(spark):
+    """Wide (unicode) charset fixture where the distinct-trigram count
+    exceeds a forced tiny ref_top_k: the reference table must truncate
+    to exactly the top-K by (count desc, hash asc) — value-checked
+    against a pure-Python replication of the capped scoring, including
+    the tie-break (the fixture's reference trigrams all tie at count
+    1, so hash order alone decides membership)."""
+    import hashlib
+    from collections import Counter
+
+    from deltoid_spark.functions import text as textfns
+
+    chars = [chr(0x100 + 7 * i) for i in range(120)]
+    rows = []
+    for d in range(8):
+        txt = "".join(chars[(3 * d + k) % 120] for k in range(60)) * (d % 3 + 1)
+        rows.append((d, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def tris(t):
+        return [t[i:i + 3] for i in range(len(t) - 2)]
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    ref_counts = Counter()
+    for d, t in rows:
+        if d % 10 == 0:
+            for tri in tris(t):
+                ref_counts[h(tri)] += 1
+    K = 5
+    assert len(ref_counts) > K  # the cap actually binds
+    top = dict(sorted(ref_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+
+    got = {r["doc_id"]: r for r in textfns.lm_coverage(docs, ref_top_k=K).collect()}
+    for d, t in rows:
+        gs = [h(x) for x in tris(t)]
+        n = len(gs)
+        seen = sum(1 for g in gs if g in top)
+        refc = sum(top.get(g, 0) for g in gs)
+        assert got[d]["n_tri"] == n
+        assert got[d]["seen_permille"] == seen * 1000 // n, d
+        assert got[d]["avg_ref_count"] == refc // n, d
+
+
 def test_media_probe_parsers():
     """MP4 box-tree and MP3 frame-stream probes: real struct walking,
     closed-form sizes, corrupt-input rejection (no Spark needed)."""
@@ -275,6 +353,32 @@ def test_media_probe_spark_kernel(spark):
     assert got[0]["container"] == "mp4" and got[0]["meta_a"] == 320
     assert got[1]["container"] == "mp3" and got[1]["n_units"] == 11
     assert all(got[i]["n_bytes"] > 0 for i in range(8))
+
+
+def test_media_probe_demotes_malformed_payloads(spark):
+    """Route-and-filter contract: a payload that sniffs like MP3/MP4
+    but fails its parser yields an 'unknown' row instead of killing the
+    task; a JPEG payload (also 0xFF-leading) routes to its own branch,
+    never into the MP3 frame parser."""
+    from deltoid_spark.functions.jpeg import encode_jpeg
+
+    jpeg = encode_jpeg(np.full((16, 16), 128, dtype=np.uint8))
+    rows = [
+        (0, "video", bytearray(b"\x00\x00\x00\x20ftypisom")),  # box size > payload
+        (1, "audio", bytearray(b"\xff\xfb" + b"\x00" * 8)),            # bad mp3 frame
+        (2, "image", bytearray(jpeg)),                                  # real jpeg (0xFF D8)
+        (3, "other", bytearray(b"plain bytes")),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in multimodal.media_probe(
+            spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+        ).collect()
+    }
+    assert got[0]["container"] == "unknown"
+    assert got[1]["container"] == "unknown"
+    assert got[2]["container"] == "jpeg" and got[2]["n_bytes"] == len(jpeg)
+    assert got[3]["container"] == "unknown"
 
 
 def test_media_features_real_decode(spark):

@@ -390,12 +390,84 @@ def test_zone_map_pruning(spark, tmp_path_factory):
     hi = decode(spark, out, columns=["size"], where=("size", 3000, None))
     assert hi.columns == ["size"] and hi.count() == 300
 
-    with pytest.raises(ValueError, match="where supports"):
-        decode(spark, out, where=("lang", 0, 1))
     with pytest.raises(ValueError, match="at least one"):
         decode(spark, out, where=("size", None, None))
     with pytest.raises(ValueError, match="not in table"):
         decode(spark, out, where=("nope", 0, 1))
+
+
+def test_zone_map_pruning_strings(spark, tmp_path_factory):
+    """where over a STRING column: ASCII-gated (smin, smax) bounds
+    recorded at encode prune whole partitions; the residual filter
+    restores exact range semantics; non-ASCII extremes and long values
+    degrade to unprunable, never to wrong answers."""
+    import pytest
+
+    from deltoid_spark.jobs import decode, encode
+    from deltoid_spark.jobs.pipeline import _string_zone
+    import pyarrow as pa
+
+    rows = []
+    for r in range(4):  # repos in disjoint name ranges -> disjoint zones
+        for i in range(300):
+            rows.append(
+                (f"org{r}/repo", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+                 f"content {r} {i}", r * 1000 + i)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, size bigint",
+    )
+    out = str(tmp_path_factory.mktemp("szone"))
+    encode(spark, df, out, target_rows=300)
+
+    got = decode(spark, out, where=("repo", "org1/", "org1/z")).collect()
+    assert len(got) == 300
+    assert all(r["repo"] == "org1/repo" for r in got)
+
+    # the prune actually dropped partitions (not just the residual)
+    pruned = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True, where=("repo", "org1/", "org1/z"))
+        .select("part_id").distinct().collect()
+    }
+    allp = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True)
+        .select("part_id").distinct().collect()
+    }
+    assert pruned < allp, (sorted(pruned), sorted(allp))
+
+    # open-ended bounds; constant column keeps everything
+    assert decode(spark, out, where=("repo", "org3/", None)).count() == 300
+    assert decode(spark, out, where=("lang", "py", "py")).count() == 1200
+    assert decode(spark, out, where=("lang", "q", None)).count() == 0
+
+    # unsupported ddl still raises (arrays aren't range targets)
+    arr_df = spark.createDataFrame(
+        [("a/b", "f", "c" * 40, "py", "x", ["t"])],
+        "repo string, path string, commit string, lang string, "
+        "content string, tags array<string>",
+    )
+    out2 = str(tmp_path_factory.mktemp("szone2"))
+    encode(spark, arr_df, out2, target_rows=10)
+    with pytest.raises(ValueError, match="where supports"):
+        decode(spark, out2, where=("tags", "a", "b"))
+
+    # _string_zone unit properties: ASCII gate + truncation bounds
+    a = pa.array(["alpha", "beta", "gamma"], type=pa.large_utf8())
+    assert _string_zone(a) == ("alpha", "gamma")
+    nonascii = pa.array(["aa", "\U0001F600"], type=pa.large_utf8())
+    smin, smax = _string_zone(nonascii)
+    assert smin == "aa" and smax is None  # non-ASCII max drops that side
+    long = pa.array(["b" * 100, "a" * 100], type=pa.large_utf8())
+    smin, smax = _string_zone(long)
+    assert smin == "a" * 64            # prefix of min is a lower bound
+    assert smax == "b" * 63 + "c"      # incremented prefix bounds above
+    assert smax > "b" * 100            # and it really is an upper bound
+    allnull = pa.array([None, None], type=pa.large_utf8())
+    assert _string_zone(allnull) == (None, None)
 
 
 def test_zone_map_pruning_timestamps(spark, tmp_path_factory):
