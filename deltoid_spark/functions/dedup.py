@@ -21,6 +21,8 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .hashing import hash60
+
 N_MINHASH = 8
 N_BANDS = 4  # 2 hashes per band
 SHINGLE = 16
@@ -116,7 +118,10 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) -> DataFrame:
+def jaccard_verify(
+    docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS,
+    portable: bool = True,
+) -> DataFrame:
     """Exact n-gram Jaccard for every LSH candidate pair (the verify
     stage of the classic dedup pipeline: shingle -> minhash -> band ->
     candidate -> EXACT similarity).
@@ -134,8 +139,8 @@ def jaccard_verify(docs: DataFrame, width: int = SHINGLE, bands: int = N_BANDS) 
     value-exact (both engines apply the identical hash, so counts
     agree even in the astronomically-unlikely collision case).
     """
-    pairs = lsh_candidate_pairs(docs, bands)
-    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    pairs = lsh_candidate_pairs(docs, bands, portable=portable)
+    gram_hash = hash60("g", portable)
     grams = char_shingles(docs, width).select("doc_id", gram_hash.alias("g")).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
@@ -251,7 +256,9 @@ def dup_clusters(docs: DataFrame, bands: int = N_BANDS, max_iter: int = 50) -> D
     return connected_components(lsh_candidate_pairs(docs, bands), max_iter)
 
 
-def duplicate_text_mass(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
+def duplicate_text_mass(
+    docs: DataFrame, width: int = SHINGLE, portable: bool = True
+) -> DataFrame:
     """Exact substring-duplication mass per document: the fraction of a
     doc's character-shingle positions whose shingle also appears in at
     least one OTHER document (the deduplicate-training-data signal of
@@ -264,7 +271,7 @@ def duplicate_text_mass(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
     min/max doc comparison — two longs per gram, never a doc list);
     the join back is gram-hash-uniform so no skew handling is needed.
     """
-    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    gram_hash = hash60("g", portable)
     pos = char_shingles(docs, width).select("doc_id", gram_hash.alias("g"))
     # a gram is "shared" iff it appears in >= 2 distinct docs; min!=max
     # over doc ids detects that without count(distinct) or a doc list
@@ -324,7 +331,8 @@ def dedup_select(docs: DataFrame, bands: int = N_BANDS) -> DataFrame:
 
 
 def contamination(
-    docs: DataFrame, bench: DataFrame, width: int = SHINGLE
+    docs: DataFrame, bench: DataFrame, width: int = SHINGLE,
+    portable: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag every document sharing at least
     one character shingle with a held-out benchmark set (the standard
@@ -337,7 +345,7 @@ def contamination(
     construction, so its gram set broadcasts and the corpus side never
     shuffles by gram at all — the expensive explode stays map-side.
     """
-    gram_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    gram_hash = hash60("g", portable)
     doc_grams = (
         char_shingles(docs, width).select("doc_id", gram_hash.alias("g")).distinct()
     )
@@ -443,7 +451,9 @@ def simhash_buckets(docs: DataFrame, prefix_bits: int = 16) -> DataFrame:
     )
 
 
-def strip_boilerplate_lines(docs: DataFrame, max_df: int = 2) -> DataFrame:
+def strip_boilerplate_lines(
+    docs: DataFrame, max_df: int = 2, portable: bool = True
+) -> DataFrame:
     """Corpus-wide line-level dedup (RefinedWeb/Lee-et-al. style): drop
     every line that occurs in more than ``max_df`` distinct documents
     (navigation chrome, license headers, boilerplate), reassemble each
@@ -470,7 +480,7 @@ def strip_boilerplate_lines(docs: DataFrame, max_df: int = 2) -> DataFrame:
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("ln", "line")
     ).withColumn(
-        "lh", F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        "lh", hash60("line", portable)
     )
     dfreq = (
         lines.select("doc_id", "lh").distinct().groupBy("lh").agg(

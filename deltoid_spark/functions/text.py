@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .hashing import fingerprint_hex, hash60
+
 
 def n_tokens(col: str = "text") -> Column:
     """Whitespace token count via the replace trick (engine-portable):
@@ -114,12 +116,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame) -> DataFrame:
-    """Normalized-content fingerprint: md5 of lowercased, space-collapsed
-    text (the document-identity key for fuzzy-exact dedup)."""
+def fingerprints(docs: DataFrame, portable: bool = True) -> DataFrame:
+    """Normalized-content fingerprint: hash of lowercased,
+    space-collapsed text (the document-identity key for fuzzy-exact
+    dedup).  portable switches md5 -> xxhash64 hex (see hashing.py,
+    the ONE documented scale switch shared by every hashing operator)."""
     return docs.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " ")))).alias("fp"),
+        fingerprint_hex(
+            F.lower(F.trim(F.regexp_replace("text", " +", " "))), portable
+        ).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -196,7 +202,10 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_coverage(docs: DataFrame, ref_mod: int = 10, ref_top_k: int = 1_000_000) -> DataFrame:
+def lm_coverage(
+    docs: DataFrame, ref_mod: int = 10, ref_top_k: int = 1_000_000,
+    portable: bool = True,
+) -> DataFrame:
     """Character-trigram LM coverage score — the CCNet-style quality
     proxy (Wenzek et al. 2020 score documents by an in-domain LM;
     here the "model" is the trigram table of a deterministic in-domain
@@ -237,9 +246,7 @@ def lm_coverage(docs: DataFrame, ref_mod: int = 10, ref_top_k: int = 1_000_000) 
         "text",
     ).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.expr("substring(text, i, 3)")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("g"),
+        hash60(F.expr("substring(text, i, 3)"), portable).alias("g"),
     )
     ref = (
         tri.filter(F.col("doc_id") % ref_mod == 0)

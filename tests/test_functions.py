@@ -49,6 +49,50 @@ def test_lsh_candidate_pairs(docs):
     assert (0, 3) not in fast and (3, 4) not in fast
 
 
+def test_portable_switch_consistency(docs, spark):
+    """The ONE scale switch (hashing.py): every hashing operator accepts
+    portable=False and produces the same SHAPE of answer — same rows
+    for content-identity ops (identical inputs hash identically under
+    any hash), same schema everywhere — while only hash VALUES differ.
+    Defaults stay portable=True so the DuckDB oracles are untouched."""
+    from deltoid_spark.functions import text as textfns
+
+    # fingerprints: identical docs share fp under both hashes; fp values differ
+    for portable in (True, False):
+        fps = {r["doc_id"]: r["fp"] for r in
+               textfns.fingerprints(docs, portable=portable).collect()}
+        assert fps[0] == fps[1]          # planted exact dup
+        assert fps[0] != fps[3]
+    # jaccard_verify: exact intersection counts are hash-invariant
+    # (both sides hash the same grams), so every pair candidate under
+    # BOTH hash families gets the identical exact jaccard; the
+    # candidate sets themselves may differ on borderline pairs (minhash
+    # banding is hash-family-dependent by design)
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard_x1000"]
+         for r in dedup.jaccard_verify(docs).collect()}
+    b = {(r["doc_a"], r["doc_b"]): r["jaccard_x1000"]
+         for r in dedup.jaccard_verify(docs, portable=False).collect()}
+    assert (0, 1) in a and (0, 1) in b
+    for pair in set(a) & set(b):
+        assert a[pair] == b[pair], pair
+    # strip_boilerplate_lines: line-identity is hash-invariant
+    rows = [(i, "shared header\nbody %d" % i) for i in range(5)]
+    d2 = spark.createDataFrame(rows, "doc_id long, text string")
+    pa_ = {r["doc_id"]: r["n_kept"] for r in
+           dedup.strip_boilerplate_lines(d2, max_df=2).collect()}
+    pb_ = {r["doc_id"]: r["n_kept"] for r in
+           dedup.strip_boilerplate_lines(d2, max_df=2, portable=False).collect()}
+    assert pa_ == pb_ == {i: 1 for i in range(5)}
+    # lm_coverage: n_tri is hash-invariant; coverage stats are computed
+    # over the same trigram multiset so they agree too
+    ca = {r["doc_id"]: tuple(r) for r in textfns.lm_coverage(docs).collect()}
+    cb = {r["doc_id"]: tuple(r) for r in
+          textfns.lm_coverage(docs, portable=False).collect()}
+    assert ca == cb
+    # contamination / duplicate_text_mass run clean under the fast hash
+    assert dedup.duplicate_text_mass(docs, portable=False).count() == docs.count()
+
+
 def test_simhash_hamming(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")  # noqa: E731

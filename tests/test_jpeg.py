@@ -66,6 +66,32 @@ class TestRoundTrip:
         out = jpeg.decode_jpeg(data)
         assert np.abs(out.astype(int) - noise.astype(int)).mean() < 8.0
 
+    def test_entropy_decoders_bit_identical(self):
+        """The table-driven LUT decoder and the lockstep-across-restart-
+        intervals decoder reproduce the per-symbol reference decoder
+        EXACTLY on every stream shape: grayscale, RGB 4:4:4, 4:2:0,
+        with and without restart intervals, noise and gradients.  The
+        reference stays the semantic anchor; the fast paths are a
+        measured >=10x entropy-throughput win on restart-dense streams
+        (BASELINE.md round-5 table)."""
+        rng = np.random.default_rng(7)
+        noise = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+        grad = _gradient_rgb(64, 48)
+        streams = [
+            jpeg.encode_jpeg(noise, quality=90),
+            jpeg.encode_jpeg(noise, quality=90, restart_interval=1),
+            jpeg.encode_jpeg(grad, quality=60, restart_interval=2),
+            jpeg.encode_jpeg(grad, quality=75, subsample=True,
+                             restart_interval=1),
+            jpeg.encode_jpeg(noise[:, :, 0].copy(), quality=85,
+                             restart_interval=3),
+        ]
+        for i, s in enumerate(streams):
+            ref = jpeg.decode_jpeg(s, _entropy="reference")
+            for mode in ("lut", "fast"):
+                got = jpeg.decode_jpeg(s, _entropy=mode)
+                assert got.shape == ref.shape and (got == ref).all(), (i, mode)
+
     def test_restart_markers_resync(self):
         rgb = _gradient_rgb(40, 56)
         base = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=90))
