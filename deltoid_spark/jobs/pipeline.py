@@ -680,6 +680,15 @@ def _write_partition_map(
 
 
 def _read_partition_map(spark: SparkSession, out_dir: str):
+    """Collect the persisted partition map to the driver.
+
+    Headroom bound: the map has one row per SALTED GIANT group (plus a
+    sentinel), at most total_rows / target_rows entries — i.e. it is
+    partitions-sized, not data-sized.  At 100 TB with sane partition
+    sizing (>= 100 MB per partition) that is <= ~10^6 rows of
+    (string, long, long) — tens of MB on the driver, same order as
+    Spark's own file-listing state.  Pinned by the 10^5-partition
+    smoke test (test_partition_count_headroom_100k), not assumed."""
     rows = spark.read.parquet(os.path.join(out_dir, "partmap")).collect()
     salt_map = [
         (r["grp"], r["base_id"], r["n_salts"]) for r in rows if r["grp"] is not None
@@ -1376,7 +1385,12 @@ def _zone_prune(
     Blocks without zone maps (pre-zone-map tables, all-null fragments,
     non-ASCII string extremes) count as possible matches — pruning is
     only ever an optimization, never a correctness dependency (the
-    residual row filter still applies after decode)."""
+    residual row filter still applies after decode).
+
+    Headroom bound: the broadcast ``hits`` list is one long per
+    SURVIVING partition — partitions-sized at worst (no predicate
+    selectivity), so <= ~10^6 entries / ~8 MB at 100 TB with >= 100 MB
+    partitions.  Pinned by test_partition_count_headroom_100k."""
     mn, mx = ("smin", "smax") if string_kind else ("zmin", "zmax")
     if mn not in blocks.columns:
         return blocks

@@ -103,6 +103,55 @@ def _script_cost(n_lines_chars: int, n_ints: int) -> int:
     return n_lines_chars + 8 * n_ints
 
 
+# --- char-level intra-line refinement (the reference's own admitted gap:
+# string.rs:37 "TODO: Improve delta space efficiency" — line-granular
+# splices are wasteful when a version changes a few chars inside a LONG
+# line, the minified/one-line-file case).  Applied per edited line, only
+# in positional scripts touching <= CHAR_EDIT_MAX lines, and only when
+# the char splice actually beats storing the full new line (cost gate) —
+# so corpora without long-line edits encode byte-identically to before.
+CHAR_EDIT_MAX = 2
+_CHAR_INT_COST = 6  # cs + cd as packed ints, amortized
+
+
+def _char_refine(
+    line_dict: pa.Array,
+    old_lines: list,
+    idxs: np.ndarray,
+    new_codes: np.ndarray,
+    bits: list,
+    cs_out: list,
+    cd_out: list,
+    frags: list,
+) -> np.ndarray:
+    """Try char-splice mode for each (old line -> new line) edit pair:
+    store (col_start, del_count, fragment) instead of the whole new
+    line when that is smaller.  Appends per-edit bookkeeping; returns
+    the codes of edits that stay full-line (their entries in the delta
+    line stream)."""
+    keep: list[int] = []
+    for idx, ncode in zip(idxs.tolist(), new_codes.tolist()):
+        old = old_lines[idx]
+        new = line_dict[int(ncode)].as_py()
+        lim = min(len(old), len(new))
+        p = 0
+        while p < lim and old[p] == new[p]:
+            p += 1
+        s = 0
+        while s < lim - p and old[len(old) - 1 - s] == new[len(new) - 1 - s]:
+            s += 1
+        frag = new[p : len(new) - s]
+        if len(frag) + _CHAR_INT_COST < len(new):
+            bits.append(True)
+            cs_out.append(p)
+            cd_out.append(len(old) - p - s)
+            frags.append(frag)
+        else:
+            bits.append(False)
+            keep.append(ncode)
+    return np.array(keep, dtype=np.int64)
+
+
 def _precompute_deltas(
     codes: np.ndarray,
     loffs: np.ndarray,
@@ -286,6 +335,12 @@ def encode_chain(
     edit_indices: list[np.ndarray] = []
     delta_lines: list[np.ndarray] = []  # per-script line arrays, concat once
     splice_flags: list[bool] = []
+    # char-splice refinement streams (one entry per flat edit entry /
+    # per char-mode edit respectively)
+    char_bits_l: list[bool] = []
+    char_cs: list[int] = []
+    char_cd: list[int] = []
+    char_frags: list[str] = []
 
     # candidate rows for the vectorized delta path: previous version is
     # the physically preceding row (v > 0), neither side null, cadence
@@ -304,7 +359,7 @@ def encode_chain(
         cand_mask = np.zeros(0, dtype=bool)
     cand = np.flatnonzero(cand_mask)
     if len(cand):
-        (vchoice, _vec, veoff, vlocal, velines, vp, vs, vna, vnb, vm) = (
+        (vchoice, vecounts, veoff, vlocal, velines, vp, vs, vna, vnb, vm) = (
             _precompute_deltas(codes, loffs, line_lens, clen, cand)
         )
     cursor = 0
@@ -321,6 +376,16 @@ def encode_chain(
                 cursor += 1
                 lo, hi = loffs[i], loffs[i + 1]
                 ch = vchoice[c]
+                ecnt = int(vecounts[c])
+                # NOTE: no char-splice trial on this (contiguous) path,
+                # deliberately — measured: when both versions of a pair
+                # sit in the SAME compressed block, zstd's cross-version
+                # matching already captures the intra-line redundancy,
+                # and explicit char deltas came out net-NEGATIVE on
+                # every fixture shape (BASELINE.md round-5 "char-level
+                # delta" table).  The refinement pays exactly where the
+                # previous text is NOT in this block's streams: the
+                # seeded append path below.
                 if ch == 1:  # splice wins
                     p_, s_ = int(vp[c]), int(vs[c])
                     sins = codes[lo + p_ : hi - s_]
@@ -331,14 +396,15 @@ def encode_chain(
                     edit_indices.append(np.zeros(0, dtype=np.int64))
                     delta_lines.append(sins)
                     force_key = False
-                elif ch == 2:  # positional wins
+                elif ch == 2:  # positional wins (full-line edits)
                     e0, e1 = int(veoff[c]), int(veoff[c + 1])
                     m_ = int(vm[c])
                     splice_flags.append(False)
-                    edit_counts.append(e1 - e0)
+                    edit_counts.append(ecnt)
                     add_counts.append(int(vnb[c]) - m_)
                     remove_counts.append(max(int(vna[c] - vnb[c]), 0))
                     edit_indices.append(vlocal[e0:e1])
+                    char_bits_l.extend([False] * ecnt)
                     delta_lines.append(velines[e0:e1])
                     delta_lines.append(codes[lo + m_ : hi])
                     force_key = False
@@ -351,6 +417,7 @@ def encode_chain(
             ):
                 # seeded continuation: first version deltas against the
                 # supplied base text (rare; per-group python path)
+                seed_lines = base_texts[g].split("\n")
                 seed_arr = _seed_codes(base_texts[g])
                 lo, hi = loffs[i], loffs[i + 1]
                 eidx, elines, adds, rem, sp, sdel, sins = _version_deltas(
@@ -364,7 +431,47 @@ def encode_chain(
                     int(clen[lo + sp + len(sins)] - clen[lo + sp]), 3
                 )
                 text_chars = int(clen[hi] - clen[lo]) + (hi - lo - 1)
-                if min(pos_cost, spl_cost) >= text_chars:
+                # char-splice trial (string.rs:37's admitted gap): the
+                # base text lives in the PREVIOUS fragment's streams, so
+                # zstd can't match against it here — a few changed chars
+                # inside a long line beat every line-level script,
+                # including the keyframe degrade (a single-line file's
+                # "new line" IS the whole text, re-stored per append
+                # without this)
+                trial = None
+                if 0 < len(eidx) <= CHAR_EDIT_MAX:
+                    t_bits: list = []
+                    t_cs: list = []
+                    t_cd: list = []
+                    t_frags: list = []
+                    kept = _char_refine(
+                        line_dict, seed_lines, eidx, elines,
+                        t_bits, t_cs, t_cd, t_frags,
+                    )
+                    if any(t_bits):
+                        kept_chars = int(dlens[kept].sum()) if len(kept) else 0
+                        char_cost = (
+                            kept_chars + sum(len(f) for f in t_frags)
+                            + _CHAR_INT_COST * len(t_frags)
+                            + achars + 8 * (len(eidx) + 3)
+                        )
+                        if char_cost < min(pos_cost, spl_cost, text_chars):
+                            trial = (kept, t_bits, t_cs, t_cd, t_frags)
+                if trial is not None:
+                    kept, t_bits, t_cs, t_cd, t_frags = trial
+                    splice_flags.append(False)
+                    edit_counts.append(len(eidx))
+                    add_counts.append(len(adds))
+                    remove_counts.append(rem)
+                    edit_indices.append(eidx)
+                    char_bits_l.extend(t_bits)
+                    char_cs.extend(t_cs)
+                    char_cd.extend(t_cd)
+                    char_frags.extend(t_frags)
+                    delta_lines.append(kept)
+                    delta_lines.append(adds)
+                    force_key = False
+                elif min(pos_cost, spl_cost) >= text_chars:
                     pass  # degrade to keyframe
                 elif spl_cost < pos_cost:
                     splice_flags.append(True)
@@ -380,6 +487,7 @@ def encode_chain(
                     add_counts.append(len(adds))
                     remove_counts.append(rem)
                     edit_indices.append(eidx)
+                    char_bits_l.extend([False] * len(eidx))
                     delta_lines.append(elines)
                     delta_lines.append(adds)
                     force_key = False
@@ -412,7 +520,6 @@ def encode_chain(
     lines_block = encode_plain_arrow(
         line_dict.take(pa.array(flat_line_codes.astype(np.int64))), level
     )
-
     meta = {
         "n": n, "k": keyframe_interval,
         "groups": gmeta, "gplen": len(gpay),
@@ -425,9 +532,27 @@ def encode_chain(
         "rc": rmeta, "rclen": len(rpay),
         "ei": imeta, "eilen": len(ipay),
     }
+    char_streams: tuple[bytes, ...] = ()
+    if any(char_bits_l):
+        # char-splice streams ship ONLY when at least one edit took the
+        # refinement — blocks without long-line edits stay byte-identical
+        # to the pre-refinement format (golden-shas unchanged)
+        char_bits = blocks.pack_mask(np.array(char_bits_l, dtype=bool))
+        csmeta, cspay = pack_ints(np.array(char_cs, dtype=np.int64))
+        cdmeta, cdpay = pack_ints(np.array(char_cd, dtype=np.int64))
+        frags_block = encode_plain_arrow(
+            pa.array(char_frags, type=pa.large_utf8()), level
+        )
+        meta.update(
+            n_edits=len(char_bits_l), cb_len=len(char_bits),
+            cs=csmeta, cslen=len(cspay),
+            cd=cdmeta, cdlen=len(cdpay),
+            frags_len=len(frags_block),
+        )
+        char_streams = (char_bits, cspay, cdpay, frags_block)
     payload = b"".join(
         (gpay, seed_bits, key_bits, null_bits, splice_bits, keys_block,
-         epay, apay, rpay, ipay, lines_block)
+         epay, apay, rpay, ipay, *char_streams, lines_block)
     )
     return blocks.frame("chain", meta, payload)
 
@@ -467,6 +592,22 @@ def decode_chain_arrow(
     add_counts = unpack_ints(meta["ac"], payload[p : p + meta["aclen"]]); p += meta["aclen"]
     remove_counts = unpack_ints(meta["rc"], payload[p : p + meta["rclen"]]); p += meta["rclen"]
     edit_idx_flat = unpack_ints_z(meta["ei"], payload[p : p + meta["eilen"]]); p += meta["eilen"]
+    # char-splice refinement streams (absent on blocks encoded without
+    # any char-mode edit, including every pre-refinement block)
+    ccum = cb_l = cs_arr = cd_arr = frag_l = None
+    if "cb_len" in meta:
+        char_bits = blocks.unpack_mask(
+            payload[p : p + meta["cb_len"]], meta["n_edits"]
+        ); p += meta["cb_len"]
+        cs_arr = unpack_ints(meta["cs"], payload[p : p + meta["cslen"]]); p += meta["cslen"]
+        cd_arr = unpack_ints(meta["cd"], payload[p : p + meta["cdlen"]]); p += meta["cdlen"]
+        _, fmeta, fpay = blocks.unframe(payload[p : p + meta["frags_len"]]); p += meta["frags_len"]
+        frag_arr, _fm = decode_plain_arrow(fmeta, fpay)
+        frag_l = frag_arr.to_pylist()
+        cb_l = char_bits.tolist()
+        ccum = np.concatenate(
+            ([0], np.cumsum(char_bits.astype(np.int64)))
+        ).tolist()
     _, lmeta, lpay = blocks.unframe(payload[p:])
     dl_arr, _dmask = decode_plain_arrow(lmeta, lpay)
 
@@ -510,6 +651,10 @@ def decode_chain_arrow(
     di = 0          # delta row cursor
     ei = 0          # flat edit-index cursor
     li = 0          # delta line cursor
+    fi = 0          # char-splice cursor (cs/cd/frag streams)
+    dict_vals = dct.dictionary
+    dict_len = len(dict_vals)
+    extra: list[str] = []  # char-spliced lines, codes dict_len + i
     row = 0
     for g, gsize in enumerate(group_sizes):
         if seeded[g]:
@@ -532,14 +677,37 @@ def decode_chain_arrow(
                     ins = dl_codes[li : li + c1]; li += c1
                     lines = np.concatenate((prev[:c2], ins, prev[c2 + c3 :]))
                 else:  # (edit_count, add_count, remove_count)
-                    idx = edit_idx_flat[ei : ei + c1]; ei += c1
-                    elines = dl_codes[li : li + c1]; li += c1
-                    alines = dl_codes[li : li + c2]; li += c2
+                    idx = edit_idx_flat[ei : ei + c1]
+                    nchar = (ccum[ei + c1] - ccum[ei]) if ccum is not None else 0
                     # edit indices are < m = min(na, nb), so they always
                     # land inside the tail-trimmed region
                     lines = prev[: len(prev) - c3].copy() if c3 else prev.copy()
-                    if c1:
-                        lines[idx] = elines
+                    if nchar == 0:
+                        elines = dl_codes[li : li + c1]; li += c1
+                        if c1:
+                            lines[idx] = elines
+                    else:
+                        # mixed full-line / char-splice edits: char-mode
+                        # lines materialize from the PREVIOUS version's
+                        # line text and get fresh codes past the dict
+                        for j in range(c1):
+                            ij = int(idx[j])
+                            if cb_l[ei + j]:
+                                oc = int(prev[ij])
+                                old = (
+                                    dict_vals[oc].as_py()
+                                    if oc < dict_len
+                                    else extra[oc - dict_len]
+                                )
+                                csv = int(cs_arr[fi]); cdv = int(cd_arr[fi])
+                                newt = old[:csv] + frag_l[fi] + old[csv + cdv :]
+                                fi += 1
+                                lines[ij] = dict_len + len(extra)
+                                extra.append(newt)
+                            else:
+                                lines[ij] = dl_codes[li]; li += 1
+                    ei += c1
+                    alines = dl_codes[li : li + c2]; li += c2
                     if c2:
                         lines = np.concatenate((lines, alines))
                 row_codes[i] = lines
@@ -556,7 +724,14 @@ def decode_chain_arrow(
         if len(filled)
         else np.zeros(0, dtype=np.int64)
     )
-    values = dct.dictionary.take(pa.array(flat, type=pa.int64()))
+    dictionary = (
+        pa.concat_arrays(
+            [dict_vals.cast(pa.large_utf8()), pa.array(extra, type=pa.large_utf8())]
+        )
+        if extra
+        else dict_vals
+    )
+    values = dictionary.take(pa.array(flat, type=pa.int64()))
     list_arr = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), values)
     joined = pc.binary_join(list_arr, pa.scalar("\n", type=pa.large_utf8()))
     if is_null.any():

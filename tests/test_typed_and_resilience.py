@@ -396,6 +396,61 @@ def test_zone_map_pruning(spark, tmp_path_factory):
         decode(spark, out, where=("nope", 0, 1))
 
 
+def test_partition_count_headroom_100k(spark, tmp_path_factory):
+    """10^5-partition metadata smoke test: every partitions-sized
+    driver/broadcast structure survives 100k partitions with correct
+    results — the partition map (write -> read-back -> broadcast apply)
+    and the zone-map prune's surviving-part_id broadcast.  This pins
+    the 100x scale story for the metadata paths without paying a 10^5-
+    partition encode (the data path is partition-local by design)."""
+    import numpy as np
+    import pandas as pd
+
+    from deltoid_spark.jobs.partitioning import apply_partition_map
+    from deltoid_spark.jobs.pipeline import (
+        BLOCK_SCHEMA,
+        _read_partition_map,
+        _write_partition_map,
+        _zone_prune,
+    )
+
+    P = 100_000
+    # --- zone-map prune over 100k block rows (one int block per part)
+    pids = np.arange(P, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "part_id": pids, "frag_id": np.int64(0), "column": "size",
+            "codec": "for", "payload": b"", "n_rows": np.int64(10),
+            "raw_bytes": np.int64(80), "enc_bytes": np.int64(20),
+            "sha256": None, "wall_s": 0.0, "run_id": "r",
+            "zmin": pids * 100, "zmax": pids * 100 + 99,
+            "smin": None, "smax": None,
+        }
+    )
+    blocks = spark.createDataFrame(pdf, BLOCK_SCHEMA)
+    hit = _zone_prune(blocks, "size", 500_000, 509_999)
+    ids = sorted(r["part_id"] for r in hit.select("part_id").distinct().collect())
+    assert ids == list(range(5000, 5100))
+
+    # --- partition map: 100k salted giants round-trip + broadcast apply
+    out = str(tmp_path_factory.mktemp("headroom"))
+    salt_map = [(f"org/giant-{i:06d}", i, 1) for i in range(P)]
+    _write_partition_map(spark, out, salt_map, base=P, n_small=16)
+    got_map, got_base, got_small = _read_partition_map(spark, out)
+    assert len(got_map) == P and got_base == P and got_small == 16
+    assert got_map[0] == ("org/giant-000000", 0, 1)
+    df = spark.createDataFrame(
+        [("org/giant-054321", "a.py"), ("org/unknown", "b.py")],
+        "repo string, path string",
+    )
+    assigned = {
+        r["repo"]: r["part_id"]
+        for r in apply_partition_map(df, got_map, got_base, got_small).collect()
+    }
+    assert assigned["org/giant-054321"] == 54321      # mapped giant
+    assert P <= assigned["org/unknown"] < P + 16      # small-bucket range
+
+
 def test_zone_map_pruning_strings(spark, tmp_path_factory):
     """where over a STRING column: ASCII-gated (smin, smax) bounds
     recorded at encode prune whole partitions; the residual filter
