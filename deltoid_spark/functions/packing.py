@@ -141,3 +141,34 @@ def pack_stats(
         )
         .orderBy("pack_id")
     )
+
+
+def cap_per_source(docs: DataFrame, k: int, salts: int = 16) -> DataFrame:
+    """Per-source document cap (the anti-crawl-domination pass every
+    web-corpus build runs: no single domain may contribute more than
+    ``k`` documents).  Keeps each source's ``k`` LOWEST doc_ids —
+    deterministic, content-stable, no RNG.
+
+    Scale shape: a naive ROW_NUMBER over (source) puts a mega-domain's
+    10^9 rows through ONE window partition.  Top-k-by-key is
+    associative, so this runs two bounded phases: phase 1 ranks within
+    (source, doc_id % salts) — each sub-partition holds ~1/salts of
+    the domain — and keeps k per sub-partition; phase 2 ranks the
+    surviving <= k*salts candidates per source and keeps the true
+    top k.  Both windows are bounded; results are independent of
+    ``salts`` (tested), so the oracle is the plain single-window SQL.
+    """
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(salts))
+    ).orderBy("doc_id")
+    cand = (
+        docs.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -10,7 +10,7 @@ order could differ.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import fingerprint_hex, hash60
 
@@ -298,3 +298,47 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.regexp_count("text", F.lit(IPV4_RX)).cast("long").alias("n_ips"),
         F.md5(scrub).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document distinctive terms — the keyword-extraction pass of
+    a curation pipeline (topic tagging, near-dup triage, cluster
+    labeling).  Terms rank by (term frequency DESC, document frequency
+    ASC, term ASC): high-tf/low-df is exactly what tf-idf orders, but
+    the integer triple is a deterministic total order with NO floating
+    log — bit-exact in any engine, no libm parity risk.
+
+    Scale shape: tf is one map-side-combinable (doc_id, term)
+    aggregate; df aggregates tf's output (vocabulary-sized, one row
+    per distinct term); the tf<-df join shuffles on the term — zipf-hot
+    terms ("the") are skewed JOIN keys, which AQE's skew-join splitting
+    handles (it is a plain shuffle join, not a window); the final
+    per-doc top-k window partitions by doc_id, bounded by per-doc
+    vocabulary.  No collect, no unbounded window partitions.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[ ]+"), lambda t: t != F.lit("")
+            )
+        ).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        tf.join(dfreq, "w")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("doc_id", "rk")
+    )

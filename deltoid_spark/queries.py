@@ -617,6 +617,71 @@ GROUP BY repo ORDER BY repo
 """
 
 
+def _q50_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source crawl cap (functions/packing.py cap_per_source): no
+    source may contribute more than K docs; keeps the K lowest doc_ids
+    per source via salted two-phase top-k (results salt-independent,
+    so the oracle is the plain single-window SQL).  Output: per-source
+    totals + kept counts + the kept id range."""
+    from .functions.packing import cap_per_source
+
+    docs = load(spark, sf_dir, "documents")
+    kept = cap_per_source(docs, k=40)
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+        F.max("doc_id").alias("last_kept"),
+    )
+    return (
+        totals.join(per, "source")
+        .select("source", "n_docs", "n_kept", "first_kept", "last_kept")
+        .orderBy("source")
+    )
+
+
+_Q50_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (SELECT source, doc_id FROM ranked WHERE rn <= 40)
+SELECT t.source, t.n_docs, k.n_kept, k.first_kept, k.last_kept
+FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) t
+JOIN (SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept,
+             MAX(doc_id) AS last_kept
+      FROM kept GROUP BY source) k USING (source)
+ORDER BY source
+"""
+
+
+def _q51_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctive terms (functions/text.py tfidf_top_terms):
+    tf-idf ordering as the integer triple (tf desc, df asc, term asc)
+    — deterministic total order, no floating log, cross-engine exact.
+    Restricted to doc_id % 9 == 0 to bound the compare size."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    return text.tfidf_top_terms(docs, k=3)
+
+
+_Q51_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM d)
+  WHERE w <> ''),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.w, t.tf, q.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, q.df ASC, t.w ASC) AS rk
+  FROM tf t JOIN dfq q USING (w))
+SELECT doc_id, rk, w AS term, tf, df
+FROM scored WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def _q48_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MP4 video decode: demux via the real stsz/stco sample
     tables, decode every Motion-JPEG sample with the from-scratch JPEG
@@ -1433,6 +1498,8 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q47_pii_scrub": (_q47_pii_scrub, _q47_oracle()),
     "q48_mp4_frames": (_q48_mp4_frames, _q48_oracle()),
     "q49_string_zone_decode": (_q49_string_zone_decode, _Q49_ORACLE),
+    "q50_source_cap": (_q50_source_cap, _Q50_ORACLE),
+    "q51_tfidf_terms": (_q51_tfidf_terms, _Q51_ORACLE),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

@@ -365,6 +365,49 @@ def test_lm_coverage_ref_top_k_cap_wide_charset(spark):
         assert got[d]["avg_ref_count"] == refc // n, d
 
 
+def test_cap_per_source_salt_independent(spark):
+    """Two-phase salted top-k keeps exactly the k lowest doc_ids per
+    source, for ANY salt count (the scale knob must not change the
+    answer), including sources under the cap."""
+    from deltoid_spark.functions.packing import cap_per_source
+
+    rows = [(i, f"s{i % 3}", f"t{i}") for i in range(100)] + [
+        (1000, "rare", "x")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    expect = {}
+    for d, s, _ in rows:
+        expect.setdefault(s, []).append(d)
+    expect = {s: set(sorted(v)[:5]) for s, v in expect.items()}
+    for salts in (1, 4, 16):
+        got = {}
+        for r in cap_per_source(docs, k=5, salts=salts).collect():
+            got.setdefault(r["source"], set()).add(r["doc_id"])
+        assert got == expect, salts
+
+
+def test_tfidf_top_terms_ordering(spark):
+    """Distinctive terms rank by (tf desc, df asc, term asc): a term
+    repeated in one doc but present everywhere loses to a rarer term
+    with the same tf."""
+    from deltoid_spark.functions import text as textfns
+
+    rows = [
+        (0, "common common rare rare zebra"),
+        (1, "common filler words here"),
+        (2, "common other text body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["rk"], r["term"], r["tf"], r["df"])
+        for r in textfns.tfidf_top_terms(docs, k=2).collect()
+        if r["doc_id"] == 0
+    ]
+    # doc 0: 'common' tf=2 df=3, 'rare' tf=2 df=1, 'zebra' tf=1 df=1
+    # -> rare (tf2, df1) beats common (tf2, df3); zebra drops at k=2
+    assert got == [(1, "rare", 2, 1), (2, "common", 2, 3)], got
+
+
 def test_media_probe_parsers():
     """MP4 box-tree and MP3 frame-stream probes: real struct walking,
     closed-form sizes, corrupt-input rejection (no Spark needed)."""
