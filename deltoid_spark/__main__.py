@@ -50,11 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--as-of-gen", type=int, default=None,
                      help="time travel: read as of this manifest generation")
     dec.add_argument("--where", default=None, metavar="COL:LO:HI",
+                     action="append",
                      help="zone-map-pruned range predicate; empty LO or HI = "
                           "open-ended.  Bounds may be ints or any string "
                           "pandas parses as a timestamp/date.  Use '|' as the "
                           "separator instead (COL|LO|HI) when a bound itself "
-                          "contains ':' (e.g. a full timestamp).")
+                          "contains ':' (e.g. a full timestamp).  Repeatable; "
+                          "multiple predicates AND together.")
 
     his = sub.add_parser("history", help="commit log: one row per generation")
     his.add_argument("--out", required=True)
@@ -108,12 +110,6 @@ def main(argv: list[str] | None = None) -> int:
                 # '|' wins when present so full timestamps ("…T10:00:00")
                 # survive; bounds fall back from int to the raw string
                 # (decode's _zbound accepts pd.Timestamp-parseable text).
-                sep = "|" if "|" in args.where else ":"
-                try:
-                    col, lo, hi = args.where.split(sep, 2)
-                except ValueError:
-                    ap.error(f"--where wants COL{sep}LO{sep}HI, got {args.where!r}")
-
                 def _bound(s: str):
                     if not s:
                         return None
@@ -122,7 +118,14 @@ def main(argv: list[str] | None = None) -> int:
                     except ValueError:
                         return s
 
-                where = (col, _bound(lo), _bound(hi))
+                where = []
+                for spec in args.where:
+                    sep = "|" if "|" in spec else ":"
+                    try:
+                        col, lo, hi = spec.split(sep, 2)
+                    except ValueError:
+                        ap.error(f"--where wants COL{sep}LO{sep}HI, got {spec!r}")
+                    where.append((col, _bound(lo), _bound(hi)))
             decode(spark, args.out, as_of_gen=args.as_of_gen, where=where).write.mode(
                 "overwrite"
             ).parquet(args.dest)

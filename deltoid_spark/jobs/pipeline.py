@@ -1424,7 +1424,7 @@ def decode(
     at_version: int | None = None,
     strict: bool = False,
     as_of_gen: int | None = None,
-    where: tuple[str, int | None, int | None] | None = None,
+    where: tuple | list[tuple] | None = None,
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
 
@@ -1446,15 +1446,16 @@ def decode(
     requested columns are returned).  parts prunes whole partitions via
     the manifest, the partition-pruning analog.
 
-    where=(col, lo, hi) pushes a range predicate on an int-family OR
-    string column INTO the block scan: partitions whose zone maps
-    (per-block min/max recorded at encode, the A13 Range semantics;
-    ASCII-gated smin/smax for strings) cannot intersect [lo, hi] are
-    pruned before any kernel runs, and a residual row filter restores
-    exact semantics afterwards.  Either bound may be None
-    (open-ended).  The predicate column is always included in the
-    output (the residual filter reads it).  Tables encoded before zone
-    maps existed decode fine — pruning silently degrades to scan-all.
+    where=(col, lo, hi) — or a LIST of such tuples, ANDed — pushes
+    range predicates on int-family or string columns INTO the block
+    scan: partitions whose zone maps (per-block min/max recorded at
+    encode, the A13 Range semantics; ASCII-gated smin/smax for
+    strings) cannot intersect every predicate's range are pruned
+    before any kernel runs, and a residual row filter restores exact
+    semantics afterwards.  Either bound may be None (open-ended).
+    Predicate columns are always included in the output (the residual
+    filter reads them).  Tables encoded before zone maps existed
+    decode fine — pruning silently degrades to scan-all.
 
     Version pruning (reference ``to_full_snapshots`` prefix semantics /
     the materialized head, snapshot/delta.rs:81-95,137-151):
@@ -1468,10 +1469,13 @@ def decode(
         raise ValueError("latest_only and at_version are mutually exclusive")
     if at_version is not None and at_version < 0:
         raise ValueError("at_version must be >= 0")
+    wpreds: list[tuple] = []
     if where is not None:
-        wcol, wlo, whi = where
-        if wlo is None and whi is None:
-            raise ValueError("where needs at least one of (lo, hi)")
+        for w in ([where] if isinstance(where, tuple) else list(where)):
+            wcol, wlo, whi = w
+            if wlo is None and whi is None:
+                raise ValueError("where needs at least one of (lo, hi)")
+            wpreds.append((wcol, wlo, whi))
     if strict:
         failed = (
             _manifest_active(spark, os.path.join(out_dir, "manifest"), as_of_gen)
@@ -1489,7 +1493,8 @@ def decode(
             )
     info = read_table_spec(spark, out_dir)
     spec = info["spec"]
-    if where is not None:
+    zpreds: list[tuple] = []  # (wcol, wddl, wlo, whi, zlo, zhi)
+    for wcol, wlo, whi in wpreds:
         wddl = dict(spec).get(wcol)
         if wddl is None:
             raise ValueError(f"where column {wcol!r} not in table")
@@ -1501,7 +1506,7 @@ def decode(
                 f"{wcol!r} is {wddl}"
             )
 
-        def _zbound(v):
+        def _zbound(v, wddl=wddl):
             """Predicate bound -> the zone map's comparison space: int64
             storage values for int-family columns (same mapping
             _storage_int64 applies at encode), the raw string for
@@ -1516,7 +1521,7 @@ def decode(
                 return int(pd.Timestamp(v).value // _NS_PER_DAY)
             return int(v)
 
-        zlo, zhi = _zbound(wlo), _zbound(whi)
+        zpreds.append((wcol, wddl, wlo, whi, _zbound(wlo), _zbound(whi)))
     version_prune = latest_only or at_version is not None
     if columns is not None:
         unknown = set(columns) - {n for n, _ in spec}
@@ -1525,10 +1530,10 @@ def decode(
         internal = set(columns)
         if info["content_col"] in internal or version_prune:
             internal |= set(info["key_cols"])  # chain seeds / version ids
-        if where is not None:
-            internal.add(wcol)  # the residual filter needs the column
+        wcols = {zp[0] for zp in zpreds}
+        internal |= wcols  # the residual filters need their columns
         decode_spec = [(n, d) for n, d in spec if n in internal]
-        out_spec = [(n, d) for n, d in spec if n in set(columns) or (where is not None and n == wcol)]
+        out_spec = [(n, d) for n, d in spec if n in set(columns) or n in wcols]
     else:
         decode_spec = out_spec = spec
     row_schema = ", ".join(f"{name} {ddl}" for name, ddl in out_spec)
@@ -1544,29 +1549,34 @@ def decode(
         blocks = blocks.filter(F.col("column").isin(wanted))
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
-    if where is not None:
+    for wcol, wddl, _wlo, _whi, zlo, zhi in zpreds:
+        # multi-predicate pruning composes: each pass keeps only
+        # partitions whose zones can intersect ITS range, so the
+        # surviving set is the intersection across predicates
         blocks = _zone_prune(blocks, wcol, zlo, zhi, string_kind=(wddl == "string"))
 
     def _residual(df: DataFrame) -> DataFrame:
-        if where is None:
+        if not zpreds:
             return df
-        # the zone map pruned PARTITIONS; exact row semantics come from
-        # this residual filter over the decoded column (timestamp/date
-        # bounds compare as their native types)
-        def _lit(v):
-            if wddl == "string":
-                return F.lit(str(v))
-            if wddl == "timestamp":
-                return F.lit(pd.Timestamp(v).to_pydatetime())
-            if wddl == "date":
-                return F.lit(pd.Timestamp(v).date())
-            return F.lit(int(v))
-
+        # the zone maps pruned PARTITIONS; exact row semantics come
+        # from this residual filter (AND across predicates) over the
+        # decoded columns (timestamp/date bounds compare natively)
         pred = F.lit(True)
-        if wlo is not None:
-            pred = pred & (F.col(wcol) >= _lit(wlo))
-        if whi is not None:
-            pred = pred & (F.col(wcol) <= _lit(whi))
+        for wcol, wddl, wlo, whi, _zlo, _zhi in zpreds:
+
+            def _lit(v, wddl=wddl):
+                if wddl == "string":
+                    return F.lit(str(v))
+                if wddl == "timestamp":
+                    return F.lit(pd.Timestamp(v).to_pydatetime())
+                if wddl == "date":
+                    return F.lit(pd.Timestamp(v).date())
+                return F.lit(int(v))
+
+            if wlo is not None:
+                pred = pred & (F.col(wcol) >= _lit(wlo))
+            if whi is not None:
+                pred = pred & (F.col(wcol) <= _lit(whi))
         return df.filter(pred)
 
     if with_part_id:

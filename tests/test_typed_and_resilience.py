@@ -499,6 +499,20 @@ def test_zone_map_pruning_strings(spark, tmp_path_factory):
     assert decode(spark, out, where=("lang", "py", "py")).count() == 1200
     assert decode(spark, out, where=("lang", "q", None)).count() == 0
 
+    # compound predicates (list of tuples, ANDed): string + int ranges
+    # prune on their own zone columns and the residual ANDs exactly
+    both = decode(
+        spark, out,
+        where=[("repo", "org1/", "org2/z"), ("size", 2000, 2049)],
+    ).collect()
+    assert len(both) == 50
+    assert all(r["repo"] == "org2/repo" and 2000 <= r["size"] <= 2049 for r in both)
+    none = decode(
+        spark, out,
+        where=[("repo", "org0/", "org0/z"), ("size", 3000, None)],
+    ).count()
+    assert none == 0  # disjoint predicates intersect to nothing
+
     # unsupported ddl still raises (arrays aren't range targets)
     arr_df = spark.createDataFrame(
         [("a/b", "f", "c" * 40, "py", "x", ["t"])],
