@@ -226,14 +226,17 @@ def _string_zone(arr: pa.Array) -> tuple[str | None, str | None]:
     bound can't be recorded safely.
 
     Collation safety: a bound is recorded ONLY if it is pure ASCII.
-    Comparing an ASCII string against ANY string gives the same answer
-    under UTF-8 byte order (Arrow/Python, used here at encode), UTF-16
-    code-unit order (the JVM comparison Spark runs for both the prune
-    join and the residual filter), and code-point order — the three
-    orderings only disagree between non-ASCII strings (supplementary
-    vs [U+E000, U+FFFF] chars).  So an ASCII bound can never prune a
-    partition whose rows a Spark filter would keep; a non-ASCII min or
-    max simply drops that bound (null = unprunable side).
+    Spark 4's default UTF8_BINARY collation compares UTF-8 BYTES —
+    identical to the order Arrow's min_max uses here (verified by
+    test_string_zone_collation_adversarial, whose emoji probe
+    distinguishes it from legacy UTF-16 order).  The ASCII gate is
+    defense in depth: comparing an ASCII string against ANY string
+    gives the same answer under UTF-8 byte order, UTF-16 code-unit
+    order, and code-point order (the orderings only disagree between
+    non-ASCII strings — supplementary vs [U+E000, U+FFFF]), so an
+    ASCII bound can never prune a partition whose rows a Spark filter
+    would keep even if a session overrides the collation.  A non-ASCII
+    min or max simply drops that bound (null = unprunable side).
 
     Bounded metadata: values truncate to a 64-char prefix.  A prefix
     of the min is still a valid lower bound; for the max the last

@@ -396,6 +396,63 @@ def test_zone_map_pruning(spark, tmp_path_factory):
         decode(spark, out, where=("nope", 0, 1))
 
 
+def test_string_zone_collation_adversarial(spark, tmp_path_factory):
+    """Adversarial strings in the zone where legacy-JVM UTF-16 order
+    and UTF-8 byte order diverge (BMP [U+E000, U+FFFF] vs
+    supplementary chars).  Spark 4's default UTF8_BINARY collation
+    compares UTF-8 BYTES — the same order Arrow's min_max uses at
+    encode — so decode(where=) must return exactly the byte-order
+    filter result, verified here against an independent UTF-8-byte-key
+    model (this test also documents WHY: a UTF-16-keyed model fails on
+    the emoji probe).  The ASCII gate on recorded bounds stays as
+    defense in depth: ASCII-vs-anything agrees under BOTH orderings,
+    so pruning stays safe even if a session overrides the default
+    collation.  Also covers the 64-char truncation edges and the 0x7F
+    increment fallback."""
+    from deltoid_spark.jobs import decode, encode
+
+    vals = [
+        "ascii-low", "zzz-ascii-high", "",
+        "private-use",      # BMP high block: UTF-16 > supplementary
+        "\U0001F600emoji",        # supplementary: UTF-8 > BMP-high
+        "mixed-￿-tail", "mixed-\U00010000-tail",
+        "a" * 63, "a" * 64, "a" * 65, "b" * 100,
+        "\x7f" * 70,              # DEL-prefix: smax increment must bail
+        "edge\x7f",
+    ]
+    rows = [
+        (f"r/{i:02d}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+         f"content {i}", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, tag string",
+    )
+    out = str(tmp_path_factory.mktemp("collate"))
+    encode(spark, df, out, target_rows=3)  # several partitions -> real pruning
+
+    def u16(s):  # byte-order key (Spark UTF8_BINARY == Arrow == this)
+        return s.encode("utf-8")
+
+    probes = [
+        ("a", "z"), (None, "b"), ("a" * 64, None), ("", "￿"),
+        ("", "\U0001F600"), ("mixed-", "mixed-\U0010FFFF"),
+        ("\x7e", "\x80"), ("aa", "a" * 70), (None, "edge\x7f"),
+    ]
+    for lo, hi in probes:
+        got = sorted(
+            r["tag"] for r in decode(spark, out, where=("tag", lo, hi)).collect()
+        )
+        expect = sorted(
+            v for v in vals
+            if (lo is None or u16(lo) <= u16(v))
+            and (hi is None or u16(v) <= u16(hi))
+        )
+        assert got == expect, (lo, hi, got, expect)
+
+
 def test_partition_count_headroom_100k(spark, tmp_path_factory):
     """10^5-partition metadata smoke test: every partitions-sized
     driver/broadcast structure survives 100k partitions with correct
