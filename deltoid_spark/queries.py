@@ -1514,7 +1514,13 @@ ORDER BY part_id
 
 
 def _q22_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 -> J2 -> J3: single-row parity report (the round-trip law)."""
+    """J1 -> J2 -> J3: single-row parity report (the round-trip law).
+
+    Fully deterministic (fixed-seed fixture, exact digest compare), so
+    it carries a golden VALUES oracle: 2005 rows (2000 generated + the
+    adversarial edge rows), zero missing, zero mismatched — the
+    engine re-derives every cell by actually encoding, decoding, and
+    digest-comparing the table."""
     from .fixtures import codegen
     from .jobs import decode, encode, verify
 
@@ -1527,6 +1533,12 @@ def _q22_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(report["rows"], report["missing"], report["mismatched"], report["ok"])],
         "rows long, missing long, mismatched long, ok boolean",
     )
+
+
+_Q22_ORACLE = """
+SELECT CAST(2005 AS BIGINT) AS "rows", CAST(0 AS BIGINT) AS missing,
+       CAST(0 AS BIGINT) AS mismatched, TRUE AS ok
+"""
 
 
 def _q25_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,11 +1658,10 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
     "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
     "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
+    "q22_roundtrip_parity": (_q22_roundtrip_parity, _Q22_ORACLE),
 }
 
-_SPARK_ONLY: dict[str, Callable] = {
-    "q22_roundtrip_parity": _q22_roundtrip_parity,
-}
+_SPARK_ONLY: dict[str, Callable] = {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
