@@ -218,6 +218,30 @@ def _arrow_content_col(
     return ()
 
 
+def _float_sortable(a: np.ndarray) -> np.ndarray:
+    """IEEE-754 doubles -> int64s whose SIGNED integer order IS the
+    floats' numeric order: non-negatives keep their bit pattern
+    (already ascending, sign bit 0), negatives flip their low 63 bits
+    (reversing their descending bit order while the set sign bit keeps
+    them below every non-negative).  Lets float/double columns share
+    the existing (zmin, zmax) long zone columns instead of growing the
+    block schema by another typed pair."""
+    v = a.view(np.int64)
+    return v ^ ((v >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def _float_zone(s: pd.Series) -> tuple[int | None, int | None]:
+    """(zmin, zmax) for a float/double column in sortable-int64 space;
+    NaNs and nulls are excluded (like nulls on int columns), so an
+    all-NaN/null block stays unprunable."""
+    a = s.to_numpy(dtype=np.float64, na_value=np.nan)
+    a = a[~np.isnan(a)]
+    if len(a) == 0:
+        return None, None
+    st = _float_sortable(a)
+    return int(st.min()), int(st.max())
+
+
 _SZONE_PREFIX = 64
 
 
@@ -294,7 +318,8 @@ def _encode_typed(
         )
     raw = _WIDTHS[ddl] * len(s)
     if ddl in ("float", "double"):
-        return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw, None, None
+        zmin, zmax = _float_zone(s)
+        return "fp", floats.encode_fp(s, width=_WIDTHS[ddl]), raw, zmin, zmax
     st = _storage_int64(s, ddl)
     zmin, zmax = st.min(), st.max()
     return (
@@ -1502,11 +1527,11 @@ def decode(
         if wddl is None:
             raise ValueError(f"where column {wcol!r} not in table")
         if wddl not in _INT_DDL and wddl not in (
-            "boolean", "timestamp", "date", "string"
+            "boolean", "timestamp", "date", "string", "float", "double"
         ):
             raise ValueError(
-                f"where supports int/boolean/timestamp/date/string columns; "
-                f"{wcol!r} is {wddl}"
+                f"where supports int/boolean/timestamp/date/float/double/"
+                f"string columns; {wcol!r} is {wddl}"
             )
 
         def _zbound(v, wddl=wddl):
@@ -1518,6 +1543,9 @@ def decode(
                 return None
             if wddl == "string":
                 return str(v)
+            if wddl in ("float", "double"):
+                # same sortable-int64 mapping _float_zone applied at encode
+                return int(_float_sortable(np.array([float(v)], dtype=np.float64))[0])
             if wddl == "timestamp":
                 return int(pd.Timestamp(v).value)  # epoch ns
             if wddl == "date":
@@ -1570,6 +1598,8 @@ def decode(
             def _lit(v, wddl=wddl):
                 if wddl == "string":
                     return F.lit(str(v))
+                if wddl in ("float", "double"):
+                    return F.lit(float(v))
                 if wddl == "timestamp":
                     return F.lit(pd.Timestamp(v).to_pydatetime())
                 if wddl == "date":

@@ -736,6 +736,52 @@ FROM scored WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+def _q54_float_zone_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float zone maps end-to-end: encode a code-shaped table carrying
+    a DOUBLE price column derived from lineitem, then decode with a
+    float range predicate — the block scan prunes partitions via the
+    IEEE-754 sortable-int64 (zmin, zmax) recorded at encode and the
+    residual filter restores exact semantics.  Money aggregates use
+    the q01 integer-cents idiom."""
+    from .jobs import decode, encode
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    df = li.select(
+        F.concat(
+            F.lit("ord/"), F.lpad((F.col("l_orderkey") % 30).cast("string"), 2, "0")
+        ).alias("repo"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("path"),
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("commit"),
+        F.lit("sql").alias("lang"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus", "l_shipdate")
+        .alias("content"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = tempfile.mkdtemp(prefix="dsq54_")
+    encode(spark, df, out, target_rows=300)
+    dec = decode(spark, out, where=("price", 2000.0, 30000.0))
+    return dec.select(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("price") * 100).cast("long")).cast("long")
+        .alias("sum_cents"),
+        F.min(F.round(F.col("price") * 100).cast("long")).cast("long")
+        .alias("min_cents"),
+        F.max(F.round(F.col("price") * 100).cast("long")).cast("long")
+        .alias("max_cents"),
+    )
+
+
+_Q54_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM lineitem
+WHERE l_orderkey % 5 = 0
+  AND l_extendedprice BETWEEN 2000.0 AND 30000.0
+"""
+
+
 def _q53_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style star join ("local supplier volume"): revenue per
     nation where the customer and the line's supplier share a nation,
@@ -1635,6 +1681,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q51_tfidf_terms": (_q51_tfidf_terms, _Q51_ORACLE),
     "q52_compound_zone_decode": (_q52_compound_zone_decode, _Q52_ORACLE),
     "q53_star_join_revenue": (_q53_star_join_revenue, _Q53_ORACLE),
+    "q54_float_zone_decode": (_q54_float_zone_decode, _Q54_ORACLE),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),

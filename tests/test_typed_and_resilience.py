@@ -396,6 +396,51 @@ def test_zone_map_pruning(spark, tmp_path_factory):
         decode(spark, out, where=("nope", 0, 1))
 
 
+def test_zone_map_pruning_floats(spark, tmp_path_factory):
+    """where over float/double columns: zone bounds live in IEEE-754
+    sortable-int64 space (shared zmin/zmax columns); negatives,
+    fractional bounds, and NaN blocks all behave — NaN rows never
+    match a range and an all-NaN partition stays unprunable."""
+    import math
+
+    from deltoid_spark.jobs import decode, encode
+    from deltoid_spark.jobs.pipeline import _float_sortable
+    import numpy as np
+
+    # sortable-transform unit law: order preserved across sign/zero
+    vals = np.array([-math.inf, -1e300, -2.5, -0.0, 0.0, 1e-300, 3.75, math.inf])
+    st = _float_sortable(vals)
+    assert list(st) == sorted(st)
+
+    rows = []
+    for r in range(4):
+        for i in range(200):
+            score = (r - 2) * 10.0 + i / 100.0  # r0: [-20,-18) ... r3: [10,12)
+            rows.append((f"f/r{r}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+                         f"c {r} {i}", score))
+    rows.append(("f/r0", "nan.py", "f" * 40, "py", "nan row", float("nan")))
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, score double",
+    )
+    out = str(tmp_path_factory.mktemp("fzone"))
+    encode(spark, df, out, target_rows=201)
+
+    got = decode(spark, out, where=("score", -10.0, -8.01)).collect()
+    assert len(got) == 200 and all(-10.0 <= r["score"] <= -8.01 for r in got)
+    # the prune actually dropped partitions
+    pruned = decode(spark, out, with_part_id=True, where=("score", -10.0, -8.01)) \
+        .select("part_id").distinct().count()
+    allp = decode(spark, out, with_part_id=True).select("part_id").distinct().count()
+    assert pruned < allp
+    # fractional bounds + open end; NaN row never matches any range
+    assert decode(spark, out, where=("score", 11.5, None)).count() == 50
+    assert decode(spark, out, where=("score", None, -19.995)).count() == 1
+    total = decode(spark, out, where=("score", float("-inf"), float("inf"))).count()
+    assert total == 800  # all real rows; the NaN row is excluded
+
+
 def test_string_zone_collation_adversarial(spark, tmp_path_factory):
     """Adversarial strings in the zone where legacy-JVM UTF-16 order
     and UTF-8 byte order diverge (BMP [U+E000, U+FFFF] vs
