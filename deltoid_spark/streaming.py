@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -138,6 +139,50 @@ def dedup_stream(
     if not docs.isStreaming:
         return fp.dropDuplicates(["fp"])
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def source_cap_stream(docs: DataFrame, k: int):
+    """Streaming per-source admission cap (applyInPandasWithState): the
+    ingest-side analog of functions/packing.cap_per_source — each
+    source admits at most ``k`` documents ACROSS micro-batches, then
+    every later arrival from that source is dropped at the door (the
+    anti-crawl-domination gate run during collection rather than after
+    it).
+
+    State is ONE counter per source — bounded by the number of distinct
+    sources, not by rows — and lives in the checkpointed state store,
+    so a restarted stream keeps honoring caps it already filled.
+    Emits the admitted rows with their per-source admission index
+    (1..k; deterministic given arrival order).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if n >= k:
+                break
+            take = pdf.iloc[: max(0, k - n)]
+            if len(take):
+                out = pd.DataFrame(
+                    {
+                        "source": key[0],
+                        "doc_id": take["doc_id"].to_numpy(),
+                        "admit_idx": np.arange(n + 1, n + len(take) + 1),
+                    }
+                )
+                n += len(take)
+                yield out
+        state.update((n,))
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        "source string, doc_id long, admit_idx long",
+        "n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def session_counts(

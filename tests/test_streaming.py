@@ -149,6 +149,50 @@ def test_chain_head_state_survives_across_drains(spark, tmp_path_factory):
     assert checked > 10
 
 
+def test_source_cap_stream_admits_k_across_drains(spark, tmp_path_factory):
+    """Streaming per-source admission cap: each source admits at most k
+    docs ACROSS micro-batches (state = one counter per source in the
+    checkpointed store), later arrivals are dropped at the door."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    in_dir = str(tmp_path_factory.mktemp("cap_in"))
+    ckpt = str(tmp_path_factory.mktemp("cap_ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("cap_out"))
+
+    def drain(rows, name):
+        pd.DataFrame(rows, columns=["source", "doc_id"]).to_parquet(
+            os.path.join(in_dir, f"{name}.parquet"), index=False
+        )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming.source_cap_stream(stream, k=3)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    # batch 0: hot source floods (5 docs), cold sends 1
+    drain([("hot", i) for i in range(5)] + [("cold", 100)], "b0")
+    # batch 1: hot sends 3 more (all must drop), cold 1 more (admits)
+    rows = drain([("hot", i) for i in range(10, 13)] + [("cold", 101)], "b1")
+    got = {}
+    for r in rows:
+        got.setdefault(r["source"], []).append((r["admit_idx"], r["doc_id"]))
+    assert len(got["hot"]) == 3          # capped at k=3 despite 8 arrivals
+    assert sorted(i for i, _ in got["hot"]) == [1, 2, 3]
+    assert sorted(got["cold"]) == [(1, 100), (2, 101)]  # cap spans drains
+
+
 def test_dedup_stream_emits_each_fingerprint_once(spark, tmp_path_factory):
     """dropDuplicatesWithinWatermark on the md5 fingerprint: duplicated
     docs across micro-batch files surface exactly once in the sink."""
