@@ -342,3 +342,38 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    min_chars: int = 100,
+    max_top_word_permille: int = 200,
+    min_seen_permille: int = 300,
+) -> DataFrame:
+    """Curation filter funnel: every corpus build's keep/drop report.
+
+    Each document gets the FIRST failing reason — too_short (length
+    floor), repetitive (Gopher top-word mass), out_of_domain (CCNet
+    trigram coverage) — or 'keep'; output is drop counts per reason.
+    Composes repetition_metrics and lm_coverage (their scale shapes
+    apply unchanged); the joins are doc_id-keyed one-to-one merges.
+    Integer thresholds over integer metrics keep the report bit-exact
+    cross-engine.
+    """
+    rep = repetition_metrics(docs).select("doc_id", "top_word_permille")
+    cov = lm_coverage(docs).select("doc_id", "seen_permille")
+    base = docs.select("doc_id", "n_chars")
+    reason = (
+        F.when(F.col("n_chars") < min_chars, "too_short")
+        .when(F.col("top_word_permille") > max_top_word_permille, "repetitive")
+        .when(F.col("seen_permille") < min_seen_permille, "out_of_domain")
+        .otherwise("keep")
+    )
+    return (
+        base.join(rep, "doc_id")
+        .join(cov, "doc_id")
+        .select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("reason")
+    )

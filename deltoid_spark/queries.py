@@ -736,6 +736,34 @@ FROM scored WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+def _q55_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter funnel (functions/text.py filter_funnel): first
+    failing reason per doc across length / repetition / LM-coverage
+    gates, reported as drop counts per reason.  The oracle composes
+    the SAME building blocks by nesting the q36 and q45 oracle bodies
+    as CTEs — the composition itself is what gets value-checked."""
+    return text.filter_funnel(load(spark, sf_dir, "documents"))
+
+
+def _q55_oracle() -> str:
+    rep = _Q36_ORACLE.strip().rsplit("ORDER BY", 1)[0]
+    cov = _Q45_ORACLE.strip().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH rep AS ({rep}),
+cov AS ({cov})
+SELECT reason, COUNT(*) AS n_docs FROM (
+  SELECT d.doc_id,
+         CASE WHEN d.n_chars < 100 THEN 'too_short'
+              WHEN rep.top_word_permille > 200 THEN 'repetitive'
+              WHEN cov.seen_permille < 300 THEN 'out_of_domain'
+              ELSE 'keep' END AS reason
+  FROM documents d
+  JOIN rep ON rep.doc_id = d.doc_id
+  JOIN cov ON cov.doc_id = d.doc_id)
+GROUP BY reason ORDER BY reason
+"""
+
+
 def _q54_float_zone_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Float zone maps end-to-end: encode a code-shaped table carrying
     a DOUBLE price column derived from lineitem, then decode with a
@@ -1682,6 +1710,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q52_compound_zone_decode": (_q52_compound_zone_decode, _Q52_ORACLE),
     "q53_star_join_revenue": (_q53_star_join_revenue, _Q53_ORACLE),
     "q54_float_zone_decode": (_q54_float_zone_decode, _Q54_ORACLE),
+    "q55_filter_funnel": (_q55_filter_funnel, _q55_oracle()),
     "q34_token_packing": (_q34_token_packing, _q34_oracle()),
     "q35_hash_split": (_q35_hash_split, _Q35_ORACLE),
     "q36_repetition": (_q36_repetition, _Q36_ORACLE),
