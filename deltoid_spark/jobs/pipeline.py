@@ -1324,10 +1324,22 @@ def make_decode_kernel(
     out_names: list[str] | None = None,
     latest_only: bool = False,
     at_version: int | None = None,
+    on_error: str = "raise",
 ):
     names = out_names if out_names is not None else [n for n, _ in spec]
 
     def decode_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if on_error == "skip":
+            try:
+                return _decode_partition_body(pdf)
+            except Exception:  # noqa: BLE001 — read-side isolation opt-in
+                # corrupt/unreadable partition -> zero rows, job survives
+                # (the read-side mirror of encode's failure isolation;
+                # run verify()/metrics to see what went missing)
+                return pd.DataFrame({n: pd.Series([], dtype=object) for n in names})
+        return _decode_partition_body(pdf)
+
+    def _decode_partition_body(pdf: pd.DataFrame) -> pd.DataFrame:
         out, _tails, _counts = _decode_fragments(pdf, spec, key_cols, content_col)
         out = out.reset_index(drop=True)
         if latest_only or at_version is not None:
@@ -1453,6 +1465,7 @@ def decode(
     strict: bool = False,
     as_of_gen: int | None = None,
     where: tuple | list[tuple] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Run J2: reconstruct the original rows from blocks.
 
@@ -1485,6 +1498,14 @@ def decode(
     filter reads them).  Tables encoded before zone maps existed
     decode fine — pruning silently degrades to scan-all.
 
+    on_error="skip" is READ-side failure isolation (the decode mirror
+    of encode's fail-the-partition-not-the-job taxonomy): a partition
+    whose blocks can't be decoded — bit rot, truncated payloads,
+    manually damaged files — contributes zero rows instead of failing
+    the whole read.  Default stays "raise" (silent data loss must be
+    opted into); pair a skip-read with verify()/metrics to see what
+    went missing.
+
     Version pruning (reference ``to_full_snapshots`` prefix semantics /
     the materialized head, snapshot/delta.rs:81-95,137-151):
     latest_only=True emits ONE row per (key...) — the chain head, the
@@ -1495,6 +1516,8 @@ def decode(
     """
     if latest_only and at_version is not None:
         raise ValueError("latest_only and at_version are mutually exclusive")
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     if at_version is not None and at_version < 0:
         raise ValueError("at_version must be >= 0")
     wpreds: list[tuple] = []
@@ -1573,6 +1596,7 @@ def decode(
         decode_spec, info["key_cols"], content,
         out_names=[n for n, _ in out_spec],
         latest_only=latest_only, at_version=at_version,
+        on_error=on_error,
     )
     blocks = _active_blocks(spark, out_dir, as_of_gen)
     if columns is not None:

@@ -396,6 +396,64 @@ def test_zone_map_pruning(spark, tmp_path_factory):
         decode(spark, out, where=("nope", 0, 1))
 
 
+def test_decode_on_error_skip_isolates_corrupt_partition(spark, tmp_path_factory):
+    """Read-side failure isolation: after a block payload is damaged on
+    disk, a default decode raises, while decode(on_error='skip') drops
+    ONLY the corrupt partition and returns every other row intact."""
+    import glob
+    import os
+
+    import pytest
+
+    from deltoid_spark.jobs import decode, encode
+
+    rows = [
+        (f"org/r{r}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py", f"content {r} {i}")
+        for r in range(3) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path_factory.mktemp("rot"))
+    encode(spark, df, out, target_rows=100)
+    allp = {
+        r["part_id"]: r["n"]
+        for r in decode(spark, out, with_part_id=True)
+        .groupBy("part_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(allp) >= 2
+
+    # corrupt ONE partition's payloads in place (bit rot simulation)
+    victim = sorted(allp)[0]
+    blocks = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "blocks")
+    )
+    damaged = blocks.withColumn(
+        "payload",
+        F.when(F.col("part_id") == victim, F.lit(b"\x00rotten")).otherwise(
+            F.col("payload")
+        ),
+    )
+    tmp = os.path.join(out, "blocks_rot")
+    damaged.write.mode("overwrite").option("compression", "none").partitionBy(
+        "run_id"
+    ).parquet(tmp)
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "blocks"))
+    os.rename(tmp, os.path.join(out, "blocks"))
+
+    with pytest.raises(Exception):
+        decode(spark, out).collect()
+    got = decode(spark, out, with_part_id=True, on_error="skip")
+    per = {r["part_id"]: r["n"] for r in
+           got.groupBy("part_id").agg(F.count("*").alias("n")).collect()}
+    assert victim not in per
+    assert per == {p: n for p, n in allp.items() if p != victim}
+    with pytest.raises(ValueError, match="on_error"):
+        decode(spark, out, on_error="ignore")
+
+
 def test_zone_map_pruning_floats(spark, tmp_path_factory):
     """where over float/double columns: zone bounds live in IEEE-754
     sortable-int64 space (shared zmin/zmax columns); negatives,
