@@ -901,3 +901,108 @@ def decode_frames(media: DataFrame, fps: int = 25) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         kernel, "media_id long, frame int, ts_ms int, feature array<float>"
     )
+
+
+# --------------------------------------------------- perceptual dedup ----
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash of an image: downscale to 9x8 by exact block
+    means (grayscale first), then 64 bits of left-vs-right brightness
+    comparisons.  Robust to re-encoding, mild noise, and resizing —
+    the standard cheap perceptual key for image corpus dedup (near-dup
+    images differ in a few bits; unrelated images in ~32)."""
+    a = px.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # exact area-mean downscale to (8, 9): partition rows/cols by
+    # linspace cut points so every source pixel lands in one cell
+    ys = np.linspace(0, h, 9).round().astype(int)
+    xs = np.linspace(0, w, 10).round().astype(int)
+    cells = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        for c in range(9):
+            cells[r, c] = a[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed long
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash over binary payloads: route by magic
+    (BMP / PNG / JPEG via the from-scratch decoders), decode, dhash64.
+    Arrow-batched mapInPandas; undecodable payloads yield a null hash
+    (route-and-filter contract, like media_probe)."""
+    from .jpeg import decode_jpeg
+
+    def _decode(p: bytes) -> np.ndarray | None:
+        try:
+            if p[:2] == b"BM":
+                return decode_bmp(p)
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                return decode_png(p)
+            if p[:2] == b"\xff\xd8":
+                return decode_jpeg(p)
+        except Exception:  # noqa: BLE001 — probe semantics
+            return None
+        return None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                px = _decode(bytes(payload))
+                hashes.append(dhash64(px) if px is not None else None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return media.mapInPandas(kernel, "media_id long, dhash long")
+
+
+def media_near_dup_pairs(hashed: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs from dhash64 values, LSH-banded:
+    split each 64-bit hash into 8 byte-bands — two hashes within
+    hamming distance 7 share at least one intact band (pigeonhole), so
+    candidates come from 8 equi-joins on (band, byte) buckets, never an
+    all-pairs scan; exact popcount verifies.  Scale shape mirrors the
+    MinHash-LSH text pipeline (hash-uniform bucket join + verify)."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("dhash"), 8 * b)
+            .bitwiseAND(F.lit(255)).alias("v"),
+        )
+        for b in range(8)
+    ]
+    banded = (
+        hashed.filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash", F.explode(F.array(*bands)).alias("bh"))
+        .select("media_id", "dhash", F.col("bh.band").alias("band"),
+                F.col("bh.v").alias("v"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -408,6 +408,51 @@ def test_tfidf_top_terms_ordering(spark):
     assert got == [(1, "rare", 2, 1), (2, "common", 2, 3)], got
 
 
+def test_media_dhash_perceptual_dedup(spark):
+    """Perceptual image dedup: the SAME picture re-encoded through
+    three different codecs (BMP exact, PNG exact, lossy JPEG) hashes
+    within a few bits, an unrelated picture lands ~32 bits away, and
+    the banded pair join surfaces exactly the planted near-dups.
+    Undecodable payloads yield null hashes (probe semantics)."""
+    from deltoid_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    smooth = base.astype(np.float64)
+    for _ in range(3):
+        smooth = (
+            np.roll(smooth, 1, 0) + np.roll(smooth, -1, 0)
+            + np.roll(smooth, 1, 1) + np.roll(smooth, -1, 1) + smooth
+        ) / 5
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+    other = np.clip(255 - smooth.transpose(1, 0, 2), 0, 255).astype(np.uint8)
+
+    rows = [
+        (0, "image", bytearray(multimodal.encode_bmp(img))),
+        (1, "image", bytearray(multimodal.encode_png(img))),
+        (2, "image", bytearray(encode_jpeg(img, quality=85))),
+        (3, "image", bytearray(multimodal.encode_bmp(other))),
+        (4, "junk", bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    hashed = multimodal.media_dhash(media)
+    hs = {r["media_id"]: r["dhash"] for r in hashed.collect()}
+    assert hs[4] is None
+    assert hs[0] == hs[1]  # exact codecs decode identically
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(hs[0], hs[2]) <= 6      # lossy re-encode: near
+    assert ham(hs[0], hs[3]) >= 16     # different picture: far
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.media_near_dup_pairs(hashed, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
 def test_media_probe_parsers():
     """MP4 box-tree and MP3 frame-stream probes: real struct walking,
     closed-form sizes, corrupt-input rejection (no Spark needed)."""
