@@ -323,8 +323,8 @@ def _encode_typed(
     st = _storage_int64(s, ddl)
     zmin, zmax = st.min(), st.max()
     return (
-        "for",
-        api.encode_block(st, "for"),
+        "dint",
+        api.encode_block(st, "dint"),
         raw,
         None if pd.isna(zmin) else int(zmin),
         None if pd.isna(zmax) else int(zmax),

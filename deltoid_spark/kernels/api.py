@@ -25,6 +25,8 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
         return fsst.encode_fsst(series, **kw)
     if codec == "for":
         return intcodec.encode_for(series)
+    if codec == "dint":
+        return intcodec.encode_dint(series)
     if codec == "fp":
         return floats.encode_fp(series, **kw)
     if codec == "chain":
@@ -54,6 +56,8 @@ def decode_block(buf: bytes, **kw) -> pd.Series:
         return fsst.decode_fsst(meta, payload)
     if codec == "for":
         return intcodec.decode_for(meta, payload)
+    if codec == "dint":
+        return intcodec.decode_dint(meta, payload)
     if codec == "fp":
         return floats.decode_fp(meta, payload)
     if codec == "chain":

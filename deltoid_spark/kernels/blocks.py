@@ -41,6 +41,7 @@ CODEC_IDS = {
     "mapdelta": 8,  # keyed Add/Edit/Remove map deltas (HashMap::delta)
     "strlist": 9,  # array<string>: packed lengths + flattened elements
     "nested": 10,  # recursive struct/array/map tree, per-leaf scalar codecs
+    "dint": 11,  # best-of {FoR, zigzag-delta, delta-of-delta}, int64
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

@@ -89,3 +89,95 @@ def decode_for(meta: dict, payload: bytes) -> pd.Series:
         out[mask] = pd.NA
         return out
     return pd.Series(unpack_ints(meta, payload), dtype="int64")
+
+
+# ----------------------------------------------------- delta-int family ----
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    u = v.astype(np.uint64)
+    return (u << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    return (z >> np.uint64(1)).astype(np.int64) ^ -(
+        (z & np.uint64(1)).astype(np.int64)
+    )
+
+
+def encode_dint(series: pd.Series) -> bytes:
+    """Best-of {FoR, zigzag-delta, zigzag-delta-of-delta} for an int64
+    column (nullable) — the Gorilla-style upgrade for the sequences
+    FoR leaves on the table: sorted ids / offsets pack to the delta's
+    width, near-constant-rate timestamps to the ACCELERATION's width
+    (regular cadence -> ~0 bits/value).  All three candidates cost one
+    numpy pass each; the smallest payload wins and the mode travels in
+    the frame meta, so decode is self-describing.  Arithmetic is
+    modular int64 (numpy wrapping) on BOTH sides, so extreme values
+    (the 2^63-boundary adversarial rows) round-trip exactly even when
+    a diff overflows."""
+    mask = series.isna().to_numpy()
+    vals = series.fillna(0).to_numpy(dtype=np.int64)
+    n = len(vals)
+    cands: dict[str, tuple[dict, bytes]] = {"f": pack_ints(vals)}
+    if n >= 2:
+        with np.errstate(over="ignore"):
+            d1 = vals[1:] - vals[:-1]
+        cands["d1"] = pack_ints(_zigzag(d1).view(np.int64))
+        if n >= 3:
+            with np.errstate(over="ignore"):
+                d2 = d1[1:] - d1[:-1]
+            cands["d2"] = pack_ints(_zigzag(d2).view(np.int64))
+    # selection includes each mode's meta overhead (d1/d2 carry raw
+    # first values in the json meta), so a mode only wins when its
+    # TOTAL frame is smaller — ties go to plain FoR
+    _meta_cost = {"f": 0, "d1": 14, "d2": 28}
+    mode = min(cands, key=lambda k: len(cands[k][1]) + _meta_cost[k])
+    m, payload = cands[mode]
+    meta = {"mode": mode, **m}
+    if mode == "d1":
+        meta["v0"] = int(vals[0])
+    elif mode == "d2":
+        meta["v0"], meta["v1"] = int(vals[0]), int(vals[1])
+    meta["has_null"] = bool(mask.any())
+    if meta["has_null"]:
+        mb = blocks.pack_mask(mask)
+        meta["mask_len"] = len(mb)
+        payload = mb + payload
+    meta["rows"] = n
+    return blocks.frame("dint", meta, payload)
+
+
+def decode_dint(meta: dict, payload: bytes) -> pd.Series:
+    n = meta["rows"]
+    if meta.get("has_null"):
+        ml = meta["mask_len"]
+        mask = blocks.unpack_mask(payload[:ml], n)
+        payload = payload[ml:]
+    else:
+        mask = None
+    packed = unpack_ints(meta, payload)
+    mode = meta["mode"]
+    if mode == "f":
+        vals = packed
+    elif mode == "d1":
+        d1 = _unzigzag(packed.view(np.uint64))
+        with np.errstate(over="ignore"):
+            vals = np.concatenate(
+                ([meta["v0"]], np.int64(meta["v0"]) + np.cumsum(d1))
+            ).astype(np.int64)
+    else:  # d2
+        d2 = _unzigzag(packed.view(np.uint64))
+        with np.errstate(over="ignore"):
+            first_d = np.int64(meta["v1"]) - np.int64(meta["v0"])
+            d1 = np.concatenate(([first_d], first_d + np.cumsum(d2))).astype(
+                np.int64
+            )
+            vals = np.concatenate(
+                ([meta["v0"]], np.int64(meta["v0"]) + np.cumsum(d1))
+            ).astype(np.int64)
+    if mask is not None:
+        out = pd.Series(vals, dtype="Int64")
+        out[mask] = pd.NA
+        return out
+    return pd.Series(vals, dtype="int64")
