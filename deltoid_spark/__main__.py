@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--dest", required=True)
     dec.add_argument("--as-of-gen", type=int, default=None,
                      help="time travel: read as of this manifest generation")
+    dec.add_argument("--on-error", default="raise", choices=("raise", "skip"),
+                     help="skip = read-side failure isolation: corrupt "
+                          "partitions contribute zero rows instead of "
+                          "failing the read (pair with verify)")
     dec.add_argument("--where", default=None, metavar="COL:LO:HI",
                      action="append",
                      help="zone-map-pruned range predicate; empty LO or HI = "
@@ -126,7 +130,8 @@ def main(argv: list[str] | None = None) -> int:
                     except ValueError:
                         ap.error(f"--where wants COL{sep}LO{sep}HI, got {spec!r}")
                     where.append((col, _bound(lo), _bound(hi)))
-            decode(spark, args.out, as_of_gen=args.as_of_gen, where=where).write.mode(
+            decode(spark, args.out, as_of_gen=args.as_of_gen, where=where,
+                   on_error=args.on_error).write.mode(
                 "overwrite"
             ).parquet(args.dest)
             print(json.dumps({"written": args.dest}))
