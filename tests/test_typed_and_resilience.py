@@ -396,6 +396,68 @@ def test_zone_map_pruning(spark, tmp_path_factory):
         decode(spark, out, where=("nope", 0, 1))
 
 
+@pytest.fixture(scope="module")
+def _fuzz_table(spark, tmp_path_factory):
+    """One encoded table with adversarial int + float columns, shared
+    by the where= fuzz (encode once, decode per example)."""
+    import numpy as np
+
+    from deltoid_spark.jobs import encode
+
+    rng = np.random.default_rng(99)
+    vals = np.concatenate([
+        rng.integers(-(2**62), 2**62, 300),
+        np.array([0, -1, 1, 2**62, -(2**62), 2**53, -(2**53)]),
+    ])
+    fvals = np.concatenate([
+        rng.normal(0, 1e6, 300),
+        np.array([0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300]),
+    ])
+    n = min(len(vals), len(fvals))
+    rows = [
+        (f"z/r{i % 5}", f"f{i}", f"{i:040x}", "py", f"c{i}",
+         int(vals[i]), float(fvals[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, iv bigint, fv double",
+    )
+    out = str(tmp_path_factory.mktemp("fuzz"))
+    encode(spark, df, out, target_rows=64)
+    return out, [r[5] for r in rows], [r[6] for r in rows]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_where_fuzz_matches_python_filter(spark, _fuzz_table, seed):
+    """Randomized range probes on int and float columns: decode(where=)
+    must return exactly the rows a plain python filter keeps — the
+    zone prune may only ever remove partitions the residual would have
+    emptied anyway."""
+    import random
+
+    from deltoid_spark.jobs import decode
+
+    out, ivals, fvals = _fuzz_table
+    r = random.Random(seed)
+    if seed % 2 == 0:
+        pool = sorted(ivals)
+        lo, hi = sorted((r.choice(pool), r.choice(pool)))
+        if seed % 4 == 0:
+            lo = None
+        got = sorted(x["iv"] for x in decode(spark, out, where=("iv", lo, hi)).collect())
+        exp = sorted(v for v in ivals if (lo is None or v >= lo) and v <= hi)
+    else:
+        pool = sorted(fvals)
+        lo, hi = sorted((r.choice(pool), r.choice(pool)))
+        if seed % 3 == 0:
+            hi = None
+        got = sorted(x["fv"] for x in decode(spark, out, where=("fv", lo, hi)).collect())
+        exp = sorted(v for v in fvals if v >= lo and (hi is None or v <= hi))
+    assert got == exp, (seed, lo, hi, len(got), len(exp))
+
+
 def test_decode_on_error_skip_isolates_corrupt_partition(spark, tmp_path_factory):
     """Read-side failure isolation: after a block payload is damaged on
     disk, a default decode raises, while decode(on_error='skip') drops
