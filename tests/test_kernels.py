@@ -336,6 +336,55 @@ def _unframe_raw(buf):
     return _b.unframe(buf)
 
 
+def test_fp_decimal_mode():
+    """ALP-style pseudo-decimal floats: decimal columns (prices,
+    rounded measurements) store as scaled ints + exceptions and come
+    back bit-exact; non-decimal columns, float32, ±inf/NaN/null edges
+    and -0.0 all stay correct (falling back to lanes or the exception
+    list as size dictates)."""
+    import numpy as np
+
+    from deltoid_spark.kernels import api, blocks as blk
+    from deltoid_spark.kernels.floats import encode_fp
+
+    r = np.random.default_rng(5)
+    prices = pd.Series(np.round(r.uniform(1, 100000, 20000), 2))
+    randoms = pd.Series(r.standard_normal(20000))
+    mixed = pd.Series(
+        np.where(r.random(20000) < 0.95,
+                 np.round(r.uniform(0, 1000, 20000), 2),
+                 r.standard_normal(20000))
+    )
+    edges = pd.Series(
+        [0.0, -0.0, np.inf, -np.inf, 1e300, -1e-300, 123.45,
+         None, np.nan, 2.5, -2.5] * 50,
+        dtype="Float64",
+    )
+
+    def rt(s, **kw):
+        out = api.decode_block(encode_fp(s, **kw))
+        for x, y in zip(s.tolist(), out.tolist()):
+            assert (pd.isna(x) and pd.isna(y)) or x == y, (x, y)
+        return blk.unframe(encode_fp(s, **kw))[1].get("mode", "lanes")
+
+    assert rt(prices) == "dec"
+    assert rt(mixed) == "dec"      # 5% stragglers ride the exception list
+    assert rt(randoms) == "lanes"  # not decimal: size pick keeps lanes
+    assert rt(edges) == "lanes"
+    assert rt(pd.Series([], dtype="float64")) == "lanes"
+    f32 = pd.Series(np.round(r.uniform(0, 100, 500), 2).astype(np.float32))
+    assert rt(f32, width=4) == "lanes"  # decimal mode is float64-only
+    # the size win that motivates the mode (vs lanes+zstd)
+    import deltoid_spark.kernels.floats as FL
+    probe = FL._decimal_probe
+    FL._decimal_probe = lambda *a: None
+    try:
+        lanes_len = len(encode_fp(prices))
+    finally:
+        FL._decimal_probe = probe
+    assert len(encode_fp(prices)) < lanes_len * 0.8
+
+
 def test_dint_modes_and_roundtrip():
     """dint (best-of FoR / zigzag-delta / delta-of-delta): mode picks
     by TOTAL frame size, every shape round-trips exactly — including
