@@ -178,7 +178,10 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries_t, pass_totals = run_queries()
     encode = run_encode_scaling()
-    total = round(sum(queries_t.values()), 3)
+    # headline = best OBSERVED whole-suite pass — a number one real run
+    # actually achieved.  The per-query bests (a composite no single
+    # pass hit) ship alongside as query_best for per-query comparisons.
+    total = min(pass_totals)
     print(
         json.dumps(
             {
@@ -186,7 +189,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries_t,
-                "query_protocol": "per-query best of 3 back-to-back passes, one session",
+                "query_protocol": (
+                    "value = best whole-suite pass of 3 back-to-back in one "
+                    "session; queries = per-query bests across passes "
+                    "(composite, sums below value)"
+                ),
                 "pass_totals": pass_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "encode": encode,

@@ -112,15 +112,13 @@ def main(argv: list[str] | None = None) -> int:
             where = None
             if args.where:
                 # '|' wins when present so full timestamps ("…T10:00:00")
-                # survive; bounds fall back from int to the raw string
-                # (decode's _zbound accepts pd.Timestamp-parseable text).
+                # survive; bounds pass through as RAW text — decode's
+                # _zbound coerces per the target column's DDL (int(),
+                # float(), pd.Timestamp() all parse strings), so an
+                # early int() here would mangle numeric-LOOKING string
+                # bounds ('05' -> 5 -> '5') and change the range applied.
                 def _bound(s: str):
-                    if not s:
-                        return None
-                    try:
-                        return int(s)
-                    except ValueError:
-                        return s
+                    return s if s else None
 
                 where = []
                 for spec in args.where:

@@ -338,6 +338,45 @@ def synthesize_jpeg_media(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def dhash_bit_law(i: int, k: int) -> int:
+    """The closed-form dhash bit for fixture image ``i`` at flattened
+    grid position ``k`` (0..63, k=0 is the MSB): group g = i//4 draws a
+    base bit from md5(f"{g}_{k}") parity, and member m = i%4 flips a
+    run of [0, 1, 3, 6][m] consecutive positions starting at
+    (13g + 3m) mod 64 — runs for different members of a group are
+    disjoint, so pairwise hamming distances are exactly the flip-count
+    sums: (m0,m1)=1, (m0,m2)=3, (m0,m3)=6, (m1,m2)=4, (m1,m3)=7,
+    (m2,m3)=9.  Cross-group hashes are md5-random (~32 bits apart).
+    A SQL oracle reproduces this law verbatim (md5 == md5), so the
+    whole BMP-encode -> decode -> dhash -> LSH pipeline is value-checked
+    against hashes derived WITHOUT touching the pixel bytes."""
+    g, m = i // 4, i % 4
+    base = int(hashlib.md5(f"{g}_{k}".encode()).hexdigest()[0], 16) % 2
+    mf = (0, 1, 3, 6)[m]
+    d = (k - (13 * g + 3 * m)) % 64
+    return base ^ (1 if d < mf else 0)
+
+
+def synthesize_dhash_media(spark, n: int = 60) -> DataFrame:
+    """Deterministic table of REAL 9x8 BMP payloads whose dhash64 is
+    closed-form: at 9x8 the downscale grid is one pixel per cell, so
+    the 64 comparison bits are exactly px[r][c+1] > px[r][c].  Each
+    row walks +-10 around 128 following :func:`dhash_bit_law`, making
+    dhash64(decode_bmp(payload)) reproduce the law bit-for-bit."""
+    rows = []
+    for i in range(n):
+        px = np.empty((8, 9), dtype=np.uint8)
+        for r in range(8):
+            v = 128
+            px[r, 0] = v
+            for c in range(8):
+                v += 10 if dhash_bit_law(i, r * 8 + c) else -10
+                px[r, c + 1] = v
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        rows.append((i, "image", bytearray(encode_bmp(rgb)), 9, 8, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     """Decode baseline JPEG payloads (huffman -> dequant -> IDCT) in an
     Arrow-batched kernel and emit exact integer pixel sums per image."""
@@ -906,16 +945,23 @@ def decode_frames(media: DataFrame, fps: int = 25) -> DataFrame:
 # --------------------------------------------------- perceptual dedup ----
 
 
-def dhash64(px: np.ndarray) -> int:
+def dhash64(px: np.ndarray) -> int | None:
     """Difference hash of an image: downscale to 9x8 by exact block
     means (grayscale first), then 64 bits of left-vs-right brightness
     comparisons.  Robust to re-encoding, mild noise, and resizing —
     the standard cheap perceptual key for image corpus dedup (near-dup
-    images differ in a few bits; unrelated images in ~32)."""
+    images differ in a few bits; unrelated images in ~32).
+
+    Images narrower than the 9x8 comparison grid have empty linspace
+    cells (mean of nothing = NaN = arbitrary bits), so they return
+    ``None`` — media_dhash surfaces that as a null hash, same contract
+    as an undecodable payload."""
     a = px.astype(np.float64)
     if a.ndim == 3:
         a = a.mean(axis=2)
     h, w = a.shape
+    if h < 8 or w < 9:
+        return None
     # exact area-mean downscale to (8, 9): partition rows/cols by
     # linspace cut points so every source pixel lands in one cell
     ys = np.linspace(0, h, 9).round().astype(int)
@@ -963,20 +1009,40 @@ def media_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, "media_id long, dhash long")
 
 
-def media_near_dup_pairs(hashed: DataFrame, max_hamming: int = 6) -> DataFrame:
+def media_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 1000
+) -> DataFrame:
     """Near-duplicate image pairs from dhash64 values, LSH-banded:
-    split each 64-bit hash into 8 byte-bands — two hashes within
-    hamming distance 7 share at least one intact band (pigeonhole), so
-    candidates come from 8 equi-joins on (band, byte) buckets, never an
-    all-pairs scan; exact popcount verifies.  Scale shape mirrors the
-    MinHash-LSH text pipeline (hash-uniform bucket join + verify)."""
+    split each 64-bit hash into 4 SIXTEEN-bit bands — two hashes
+    within hamming distance 3 share at least one intact band
+    (pigeonhole), so candidates come from 4 equi-joins on (band,
+     16-bit value) buckets, never an all-pairs scan; exact popcount
+    verifies.  16-bit bands give 65536 bucket values per band, so the
+    expected accidental-collision candidate mass is ~4*N^2/65536 —
+    256x below the byte-band layout this replaces (whose 256-value
+    buckets went quadratic on real corpora).  The recall trade: the
+    pigeonhole guarantee drops from hamming<=7 to hamming<=3, which is
+    the standard dhash near-dup cut (re-encodes/resizes land within
+    1-3 bits; unrelated images at ~32).  Pairs beyond max_hamming that
+    happen to share a band still verify exactly and are cut by the
+    popcount filter.
+
+    ``bucket_cap`` is the mega-bucket guard (same shape as
+    cosine_near_dup_pairs in similarity.py): flat/boilerplate images
+    collapse into a handful of buckets (the all-zero dhash alone goes
+    quadratic), so any (band, v) bucket holding more than ``cap``
+    hashes is excluded from pairing via a broadcast anti-join —
+    per-bucket join cost is bounded at cap^2/2 and the excluded list
+    is at most 4N/cap rows (broadcast-small).  Exact-duplicate mass
+    belongs to the exact-dedup pass (groupBy dhash), not to an LSH
+    pair explosion."""
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("dhash"), 8 * b)
-            .bitwiseAND(F.lit(255)).alias("v"),
+            F.shiftrightunsigned(F.col("dhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).alias("v"),
         )
-        for b in range(8)
+        for b in range(4)
     ]
     banded = (
         hashed.filter(F.col("dhash").isNotNull())
@@ -984,6 +1050,14 @@ def media_near_dup_pairs(hashed: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select("media_id", "dhash", F.col("bh.band").alias("band"),
                 F.col("bh.v").alias("v"))
     )
+    if bucket_cap is not None:
+        bad = (
+            banded.groupBy("band", "v")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "v")
+        )
+        banded = banded.join(F.broadcast(bad), ["band", "v"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

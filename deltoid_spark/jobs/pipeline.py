@@ -238,6 +238,10 @@ def _float_zone(s: pd.Series) -> tuple[int | None, int | None]:
     a = a[~np.isnan(a)]
     if len(a) == 0:
         return None, None
+    # canonicalize signed zeros: Spark/Python compare -0.0 == +0.0 but
+    # _float_sortable maps them to -1 and 0 — a block whose max is -0.0
+    # must not be pruned by where=(col, 0.0, None).  Mirrored in _zbound.
+    a = np.where(a == 0.0, 0.0, a)
     st = _float_sortable(a)
     return int(st.min()), int(st.max())
 
@@ -643,10 +647,17 @@ def _write_table_spec(
         (i, name, ddl, name in key_cols, name in order_cols, name == content_col)
         for i, (name, ddl) in enumerate(spec)
     ]
+    # via pandas: Arrow-path createDataFrame + a single write task.  The
+    # list-of-tuples path parallelizes into defaultParallelism pickled
+    # slices and coalesce(1) then evaluates all of them serially through
+    # Python workers — ~6 s of pure overhead for a KB of metadata.
+    pdf = pd.DataFrame(
+        rows, columns=["pos", "name", "ddl", "is_key", "is_order", "is_content"]
+    )
     spark.createDataFrame(
-        rows,
+        pdf,
         "pos int, name string, ddl string, is_key boolean, is_order boolean, is_content boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "schema"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(out_dir, "schema"))
 
 
 def read_table_spec(spark: SparkSession, out_dir: str) -> dict:
@@ -702,9 +713,11 @@ def _write_partition_map(
     spark: SparkSession, out_dir: str, salt_map, base: int, n_small: int
 ) -> None:
     rows = [(g, b, s) for g, b, s in salt_map] + [(None, base, n_small)]
+    # pandas/Arrow single-partition write — see _write_table_spec.
+    pdf = pd.DataFrame(rows, columns=["grp", "base_id", "n_salts"])
     spark.createDataFrame(
-        rows, "grp string, base_id long, n_salts long"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "partmap"))
+        pdf, "grp string, base_id long, n_salts long"
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(out_dir, "partmap"))
 
 
 def _read_partition_map(spark: SparkSession, out_dir: str):
@@ -1567,8 +1580,12 @@ def decode(
             if wddl == "string":
                 return str(v)
             if wddl in ("float", "double"):
-                # same sortable-int64 mapping _float_zone applied at encode
-                return int(_float_sortable(np.array([float(v)], dtype=np.float64))[0])
+                # same sortable-int64 mapping _float_zone applied at
+                # encode, including its signed-zero canonicalization
+                fv = float(v)
+                if fv == 0.0:
+                    fv = 0.0
+                return int(_float_sortable(np.array([fv], dtype=np.float64))[0])
             if wddl == "timestamp":
                 return int(pd.Timestamp(v).value)  # epoch ns
             if wddl == "date":

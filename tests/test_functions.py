@@ -453,6 +453,49 @@ def test_media_dhash_perceptual_dedup(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_media_near_dup_mega_bucket_guard(spark):
+    """A planted mega-bucket — 1000 identical flat images (the
+    all-equal dhash every boilerplate corpus produces) — must NOT go
+    quadratic: with the default bucket_cap the over-full (band, v)
+    buckets are excluded via broadcast anti-join, so candidates stay
+    bounded (here: zero pairs from the flat mass, exactly the planted
+    near-dup pair from the structured images).  bucket_cap=None shows
+    the counterfactual blowup the guard prevents."""
+    flat_hash = 0  # all-equal rows/cols -> every comparison bit 0
+    rows = [(i, flat_hash) for i in range(1000)]
+    # two structured near-dups (1 bit apart) + one far hash
+    rows += [(2000, 0x123456789ABCDEF0), (2001, 0x123456789ABCDEF1),
+             (2002, -0x7654321089ABCDF0)]
+    hashed = spark.createDataFrame(rows, "media_id long, dhash long")
+
+    got = multimodal.media_near_dup_pairs(hashed, bucket_cap=100).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert pairs == {(2000, 2001): 1}  # flat mass excluded, planted pair kept
+
+    # counterfactual: unguarded, the flat bucket alone is ~500k pairs
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    unguarded = multimodal.media_near_dup_pairs(
+        hashed.filter(F.col("media_id") < 40), bucket_cap=None
+    ).count()
+    assert unguarded == 40 * 39 // 2
+
+
+def test_dhash_tiny_image_null(spark):
+    """Images narrower than the 9x8 comparison grid have empty
+    downscale cells (NaN means -> garbage bits); the kernel returns
+    None and media_dhash surfaces a null hash instead."""
+    assert multimodal.dhash64(np.full((8, 8, 3), 7, dtype=np.uint8)) is None
+    assert multimodal.dhash64(np.full((7, 9), 7, dtype=np.uint8)) is None
+    assert multimodal.dhash64(np.full((8, 9), 7, dtype=np.uint8)) is not None
+    tiny = multimodal.encode_bmp(np.full((4, 4, 3), 9, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(tiny))], "media_id long, kind string, payload binary"
+    )
+    got = multimodal.media_dhash(media).collect()
+    assert len(got) == 1 and got[0]["dhash"] is None
+
+
 def test_media_probe_parsers():
     """MP4 box-tree and MP3 frame-stream probes: real struct walking,
     closed-form sizes, corrupt-input rejection (no Spark needed)."""

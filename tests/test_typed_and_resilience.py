@@ -538,6 +538,9 @@ def test_zone_map_pruning_floats(spark, tmp_path_factory):
             score = (r - 2) * 10.0 + i / 100.0  # r0: [-20,-18) ... r3: [10,12)
             rows.append((f"f/r{r}", f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
                          f"c {r} {i}", score))
+    for i in range(200):  # a partition of ONLY -0.0: must not be pruned
+        rows.append(("f/r4", f"z{i}.py", f"{i:08x}" + "1" * 32, "py",
+                     f"z {i}", -0.0))
     rows.append(("f/r0", "nan.py", "f" * 40, "py", "nan row", float("nan")))
     df = spark.createDataFrame(
         rows,
@@ -558,7 +561,12 @@ def test_zone_map_pruning_floats(spark, tmp_path_factory):
     assert decode(spark, out, where=("score", 11.5, None)).count() == 50
     assert decode(spark, out, where=("score", None, -19.995)).count() == 1
     total = decode(spark, out, where=("score", float("-inf"), float("inf"))).count()
-    assert total == 800  # all real rows; the NaN row is excluded
+    assert total == 1000  # all real rows; the NaN row is excluded
+    # signed zeros: Spark compares -0.0 == +0.0, so a lo=0.0 range must
+    # keep the -0.0-only partition (and a hi=-0.0 range the +0.0 rows)
+    assert decode(spark, out, where=("score", 0.0, None)).count() == 600
+    assert decode(spark, out, where=("score", None, -0.0)).count() == 601
+    assert decode(spark, out, where=("score", -0.0, 0.0)).count() == 201
 
 
 def test_string_zone_collation_adversarial(spark, tmp_path_factory):
