@@ -24,7 +24,16 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions import dedup, multimodal, packing, runs, similarity, temporal, text
+from .functions import (
+    bitstreams,
+    dedup,
+    multimodal,
+    packing,
+    runs,
+    similarity,
+    temporal,
+    text,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -943,6 +952,48 @@ ORDER BY id_a, id_b
 """
 
 
+def _q57_bitstream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-bitstream probe one layer below the q44 container walk:
+    REAL H.264 Annex-B streams (start-code scan, emulation-prevention
+    removal, Exp-Golomb SPS decode, per-NAL type counts) and AAC ADTS
+    frame walks (functions/bitstreams.py).  Every probed value is
+    closed-form in the media id, so the oracle recomputes profile /
+    dimensions / NAL mix / sample rate / duration from i alone.
+    Not-applicable metrics surface as 0 (q44's proven compare shape)."""
+    probed = bitstreams.bitstream_probe(
+        bitstreams.synthesize_bitstream_media(spark, n=48)
+    )
+    zero = [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in ("profile", "level", "width", "height", "n_units",
+                  "n_idr", "n_nonidr", "sample_rate", "duration_ms")
+    ]
+    return probed.select("media_id", "codec", *zero).orderBy("media_id")
+
+
+def _q57_oracle(n: int = 48) -> str:
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+SELECT i AS media_id, 'h264' AS codec,
+       CAST(CASE WHEN i % 4 = 0 THEN 100 ELSE 66 END AS BIGINT) AS profile,
+       CAST(30 AS BIGINT) AS level,
+       CAST(320 + 16 * (i % 5) AS BIGINT) AS width,
+       CAST(240 + 16 * (i % 3) AS BIGINT) AS height,
+       CAST(2 + (1 + i % 3) * (1 + 2 + i % 4) AS BIGINT) AS n_units,
+       CAST(1 + i % 3 AS BIGINT) AS n_idr,
+       CAST((1 + i % 3) * (2 + i % 4) AS BIGINT) AS n_nonidr,
+       CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS duration_ms
+FROM idx WHERE i % 2 = 0
+UNION ALL
+SELECT i, 'aac', 0, 0, 0, 0, CAST(f AS BIGINT), 0, 0,
+       CAST(r AS BIGINT), CAST(f * 1024 * 1000 // r AS BIGINT)
+FROM (SELECT i, 20 + i % 30 AS f,
+             CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050 ELSE 8000 END AS r
+      FROM idx WHERE i % 2 = 1)
+ORDER BY media_id
+"""
+
+
 def _q44_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probe over REAL MP4 box trees and MP3 frame
     streams (functions/multimodal.py probe walkers) — the
@@ -1765,6 +1816,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
     "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
     "q56_image_near_dups": (_q56_image_near_dups, _q56_oracle()),
+    "q57_bitstream_probe": (_q57_bitstream_probe, _q57_oracle()),
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
