@@ -253,23 +253,29 @@ def _string_zone(arr: pa.Array) -> tuple[str | None, str | None]:
     """(smin, smax) zone bounds for a string column, or None when a
     bound can't be recorded safely.
 
-    Collation safety: a bound is recorded ONLY if it is pure ASCII.
-    Spark 4's default UTF8_BINARY collation compares UTF-8 BYTES —
-    identical to the order Arrow's min_max uses here (verified by
-    test_string_zone_collation_adversarial, whose emoji probe
-    distinguishes it from legacy UTF-16 order).  The ASCII gate is
-    defense in depth: comparing an ASCII string against ANY string
-    gives the same answer under UTF-8 byte order, UTF-16 code-unit
-    order, and code-point order (the orderings only disagree between
-    non-ASCII strings — supplementary vs [U+E000, U+FFFF]), so an
-    ASCII bound can never prune a partition whose rows a Spark filter
-    would keep even if a session overrides the collation.  A non-ASCII
-    min or max simply drops that bound (null = unprunable side).
+    Collation safety: Spark 4's default UTF8_BINARY collation compares
+    UTF-8 BYTES, and UTF-8 was designed so byte order EQUALS code-point
+    order — which is also the order Arrow's min_max uses here and the
+    order Python string comparison applies.  All four agree for every
+    valid string (verified by test_string_zone_collation_adversarial,
+    whose emoji probe distinguishes this order from legacy UTF-16
+    code-unit order), so bounds are recorded for ANY string, non-ASCII
+    included — unicode repo/path/language columns prune like ASCII
+    ones.  The engine pins the binary collation (session.py does not
+    override spark.sql.collation.defaultCollation); a deployment that
+    overrides the session default to a case-/accent-insensitive
+    collation changes residual-filter semantics and must drop zone
+    bounds — that interlock is the collation test's job, not a per-value
+    gate (an ASCII-only gate would not survive UTF8_LCASE either:
+    'B' < 'a' flips under case folding for pure-ASCII values too).
 
-    Bounded metadata: values truncate to a 64-char prefix.  A prefix
-    of the min is still a valid lower bound; for the max the last
-    prefix char is incremented (strictly above everything sharing the
-    prefix), falling back to null if that would leave ASCII.
+    Bounded metadata: values truncate to a 64-code-point prefix.  A
+    prefix of the min is still a valid lower bound; for the max the
+    last incrementable code point of the prefix is bumped (strictly
+    above everything sharing the prefix under code-point order),
+    skipping the surrogate gap [U+D800, U+DFFF] which UTF-8 cannot
+    carry; if every prefix position is U+10FFFF the bound drops to
+    null (unprunable side).
     """
     if len(arr) == 0 or arr.null_count == len(arr):
         return None, None
@@ -277,8 +283,6 @@ def _string_zone(arr: pa.Array) -> tuple[str | None, str | None]:
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
 
     def _bound(v: str, is_max: bool) -> str | None:
-        if not v.isascii():
-            return None
         if len(v) <= _SZONE_PREFIX:
             return v
         p = v[:_SZONE_PREFIX]
@@ -286,8 +290,11 @@ def _string_zone(arr: pa.Array) -> tuple[str | None, str | None]:
             return p
         for i in range(len(p) - 1, -1, -1):
             c = ord(p[i])
-            if c < 0x7F:
-                return p[:i] + chr(c + 1)
+            if c < 0x10FFFF:
+                nc = c + 1
+                if 0xD800 <= nc <= 0xDFFF:
+                    nc = 0xE000
+                return p[:i] + chr(nc)
         return None
 
     return _bound(lo, False), _bound(hi, True)
@@ -1433,10 +1440,11 @@ def _zone_prune(
     """Partition pruning via block zone maps: drop every partition in
     which NO active fragment's [min, max] for ``wcol`` intersects
     [lo, hi].  Int-family columns prune on (zmin, zmax) in int64
-    storage space; string columns on the ASCII-gated (smin, smax)
-    bounds (see _string_zone — collation-safe by construction).
-    Blocks without zone maps (pre-zone-map tables, all-null fragments,
-    non-ASCII string extremes) count as possible matches — pruning is
+    storage space; string columns on the UTF-8-byte-order (smin, smax)
+    bounds (see _string_zone — code-point order == UTF-8 byte order ==
+    the pinned UTF8_BINARY collation).  Blocks without zone maps
+    (pre-zone-map tables, all-null fragments, truncation-dropped
+    string extremes) count as possible matches — pruning is
     only ever an optimization, never a correctness dependency (the
     residual row filter still applies after decode).
 
@@ -1503,8 +1511,8 @@ def decode(
     where=(col, lo, hi) — or a LIST of such tuples, ANDed — pushes
     range predicates on int-family or string columns INTO the block
     scan: partitions whose zone maps (per-block min/max recorded at
-    encode, the A13 Range semantics; ASCII-gated smin/smax for
-    strings) cannot intersect every predicate's range are pruned
+    encode, the A13 Range semantics; UTF-8-byte-ordered smin/smax for
+    strings, unicode included) cannot intersect every predicate's range are pruned
     before any kernel runs, and a residual row filter restores exact
     semantics afterwards.  Either bound may be None (open-ended).
     Predicate columns are always included in the output (the residual
@@ -1574,7 +1582,8 @@ def decode(
             """Predicate bound -> the zone map's comparison space: int64
             storage values for int-family columns (same mapping
             _storage_int64 applies at encode), the raw string for
-            string columns (ASCII-gated smin/smax compare directly)."""
+            string columns (smin/smax compare directly under the pinned
+            binary collation)."""
             if v is None:
                 return None
             if wddl == "string":

@@ -645,6 +645,82 @@ GROUP BY repo ORDER BY repo
 """
 
 
+_Q58_TABLES: dict[str, str] = {}
+
+_Q58_PREFIXES = ("альфа", "бета", "京都", "🚀")  # ascending code-point order
+
+
+def _q58_encoded_table(spark: SparkSession, sf_dir: str) -> str:
+    """Encode a documents-derived table whose repo names are UNICODE
+    (Cyrillic / CJK / supplementary-plane), cached per sf_dir."""
+    out = _Q58_TABLES.get(sf_dir)
+    if out is not None:
+        return out
+    from .jobs import encode
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _Q58_PREFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    df = docs.select(
+        F.concat(
+            prefix, F.lit("/repo-"),
+            F.lpad((F.floor(F.col("doc_id") / 20) % 10).cast("string"), 2, "0"),
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt"))
+        .alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("n_chars").alias("size"),
+    )
+    out = tempfile.mkdtemp(prefix="dsq58_")
+    encode(spark, df, out, target_rows=100)
+    _Q58_TABLES[sf_dir] = out
+    return out
+
+
+def _q58_unicode_zone_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String zone maps over NON-ASCII values (round-6 gate drop in
+    _string_zone): unicode repo names record verbatim (smin, smax)
+    bounds under UTF-8 byte order — which equals code-point order and
+    Spark's pinned UTF8_BINARY collation — so a unicode range predicate
+    prunes partitions exactly like an ASCII one.  The oracle recomputes
+    the aggregate with a plain WHERE over the same derived repo; DuckDB
+    compares varchars by UTF-8 bytes, the identical total order."""
+    from .jobs import decode
+
+    dec = decode(
+        spark, _q58_encoded_table(spark, sf_dir),
+        where=("repo", "бета/", "бета/я"),
+    )
+    return (
+        dec.groupBy("repo")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("size").alias("sum_size"),
+            F.min("path").alias("min_path"),
+        )
+        .orderBy("repo")
+    )
+
+
+_Q58_ORACLE = """
+SELECT repo, COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_size,
+       MIN(path) AS min_path
+FROM (SELECT concat(CASE doc_id % 4 WHEN 0 THEN 'альфа' WHEN 1 THEN 'бета'
+                                    WHEN 2 THEN '京都' ELSE '🚀' END,
+                    '/repo-', lpad(CAST(doc_id // 20 % 10 AS VARCHAR), 2, '0')) AS repo,
+             concat('src/f', CAST(doc_id AS VARCHAR), '.txt') AS path,
+             n_chars
+      FROM documents WHERE doc_id % 5 = 0)
+WHERE repo >= 'бета/' AND repo <= 'бета/я'
+GROUP BY repo ORDER BY repo
+"""
+
+
 def _q52_compound_zone_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound zone-map predicates: decode with a string range AND an
     int range — each prunes on its own zone columns (smin/smax and
@@ -1817,6 +1893,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
     "q56_image_near_dups": (_q56_image_near_dups, _q56_oracle()),
     "q57_bitstream_probe": (_q57_bitstream_probe, _q57_oracle()),
+    "q58_unicode_zone_decode": (_q58_unicode_zone_decode, _Q58_ORACLE),
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),

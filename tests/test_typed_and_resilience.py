@@ -574,14 +574,14 @@ def test_string_zone_collation_adversarial(spark, tmp_path_factory):
     and UTF-8 byte order diverge (BMP [U+E000, U+FFFF] vs
     supplementary chars).  Spark 4's default UTF8_BINARY collation
     compares UTF-8 BYTES — the same order Arrow's min_max uses at
-    encode — so decode(where=) must return exactly the byte-order
-    filter result, verified here against an independent UTF-8-byte-key
-    model (this test also documents WHY: a UTF-16-keyed model fails on
-    the emoji probe).  The ASCII gate on recorded bounds stays as
-    defense in depth: ASCII-vs-anything agrees under BOTH orderings,
-    so pruning stays safe even if a session overrides the default
-    collation.  Also covers the 64-char truncation edges and the 0x7F
-    increment fallback."""
+    encode and the same order as Python code points — so decode(where=)
+    must return exactly the byte-order filter result, verified here
+    against an independent UTF-8-byte-key model (this test also
+    documents WHY: a UTF-16-keyed model fails on the emoji probe).
+    Bounds are recorded for non-ASCII extremes too (the round-6 gate
+    drop), so the probes put unicode values on BOTH sides of recorded
+    zone bounds.  Also covers the 64-char truncation edges and the
+    increment carry."""
     from deltoid_spark.jobs import decode, encode
 
     vals = [
@@ -754,19 +754,75 @@ def test_zone_map_pruning_strings(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="where supports"):
         decode(spark, out2, where=("tags", "a", "b"))
 
-    # _string_zone unit properties: ASCII gate + truncation bounds
+    # _string_zone unit properties: unicode bounds + truncation edges
     a = pa.array(["alpha", "beta", "gamma"], type=pa.large_utf8())
     assert _string_zone(a) == ("alpha", "gamma")
     nonascii = pa.array(["aa", "\U0001F600"], type=pa.large_utf8())
-    smin, smax = _string_zone(nonascii)
-    assert smin == "aa" and smax is None  # non-ASCII max drops that side
+    assert _string_zone(nonascii) == ("aa", "\U0001F600")  # recorded verbatim
     long = pa.array(["b" * 100, "a" * 100], type=pa.large_utf8())
     smin, smax = _string_zone(long)
     assert smin == "a" * 64            # prefix of min is a lower bound
     assert smax == "b" * 63 + "c"      # incremented prefix bounds above
     assert smax > "b" * 100            # and it really is an upper bound
+    # unicode truncation: increment skips the UTF-8-unencodable
+    # surrogate gap and carries left past U+10FFFF positions
+    uni = pa.array(["x", "\uD7FF" * 70], type=pa.large_utf8())
+    smin, smax = _string_zone(uni)
+    assert smax == "\uD7FF" * 63 + "\uE000" and smax > "\uD7FF" * 70
+    top = pa.array(["x", "y" + "\U0010FFFF" * 70], type=pa.large_utf8())
+    smin, smax = _string_zone(top)
+    assert smax == "z" and smax > "y" + "\U0010FFFF" * 70
+    allmax = pa.array(["\U0010FFFF" * 70], type=pa.large_utf8())
+    assert _string_zone(allmax)[1] is None  # nothing incrementable
     allnull = pa.array([None, None], type=pa.large_utf8())
     assert _string_zone(allnull) == (None, None)
+
+
+def test_zone_map_pruning_unicode(spark, tmp_path_factory):
+    """Non-ASCII string zone maps actually prune: unicode repo names in
+    disjoint code-point ranges record verbatim (smin, smax) bounds, a
+    unicode range predicate drops partitions before any kernel runs,
+    and the residual filter restores exact UTF8_BINARY semantics.
+    Repos are giant-salted (n > target_rows) so each owns its
+    partitions — the prune evidence is deterministic, not hash-luck."""
+    from deltoid_spark.jobs import decode, encode
+
+    repos = ["альфа/repo", "бета/repo", "京都/repo", "🚀/repo"]
+    rows = []
+    for r, repo in enumerate(repos):
+        for i in range(300):
+            rows.append((repo, f"f{i}.py", f"{i:08x}" + "0" * 32, "py",
+                         f"c {r} {i}", r * 1000 + i))
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, size bigint",
+    )
+    out = str(tmp_path_factory.mktemp("uzone"))
+    encode(spark, df, out, target_rows=150)
+
+    got = decode(spark, out, where=("repo", "бета/", "бета/я")).collect()
+    assert len(got) == 300 and all(r["repo"] == "бета/repo" for r in got)
+    # supplementary-plane lower bound: only the rocket repo is above 京都
+    assert decode(spark, out, where=("repo", "🚀", None)).count() == 300
+    # CJK-only window
+    assert decode(spark, out, where=("repo", "京", "免")).count() == 300
+    # cross-plane window spanning CJK + supplementary
+    assert decode(spark, out, where=("repo", "京", None)).count() == 600
+
+    # the prune really dropped partitions (not just the residual)
+    pruned = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True,
+                        where=("repo", "бета/", "бета/я"))
+        .select("part_id").distinct().collect()
+    }
+    allp = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True)
+        .select("part_id").distinct().collect()
+    }
+    assert pruned < allp, (sorted(pruned), sorted(allp))
 
 
 def test_zone_map_pruning_timestamps(spark, tmp_path_factory):
