@@ -143,7 +143,9 @@ def pack_stats(
     )
 
 
-def cap_per_source(docs: DataFrame, k: int, salts: int = 16) -> DataFrame:
+def cap_per_source(
+    docs: DataFrame, k: int, window_target: int = 65536
+) -> DataFrame:
     """Per-source document cap (the anti-crawl-domination pass every
     web-corpus build runs: no single domain may contribute more than
     ``k`` documents).  Keeps each source's ``k`` LOWEST doc_ids —
@@ -151,21 +153,55 @@ def cap_per_source(docs: DataFrame, k: int, salts: int = 16) -> DataFrame:
 
     Scale shape: a naive ROW_NUMBER over (source) puts a mega-domain's
     10^9 rows through ONE window partition.  Top-k-by-key is
-    associative, so this runs two bounded phases: phase 1 ranks within
-    (source, doc_id % salts) — each sub-partition holds ~1/salts of
-    the domain — and keeps k per sub-partition; phase 2 ranks the
-    surviving <= k*salts candidates per source and keeps the true
-    top k.  Both windows are bounded; results are independent of
-    ``salts`` (tested), so the oracle is the plain single-window SQL.
+    associative (the k smallest of a union are among the union of each
+    part's k smallest), so this runs a STATIC TREE REDUCTION whose
+    every window partition is bounded by ``window_target``:
+
+    * One map-side-combined aggregate finds the largest source's row
+      count (a single scalar to the driver — the only data-dependent
+      input).
+    * Each level salts by ``xxhash64(doc_id, level)`` into
+      ``ceil(bound / window_target)`` buckets and keeps k per
+      (source, bucket); the per-source bound shrinks from ``bound`` to
+      ``k * salts`` per level, so the level count is
+      ``log_{window_target/k}(max_n)`` — 2-3 levels for a 10^9-row
+      domain, zero levels when every source already fits.
+    * The final plain (source) window ranks <= window_target
+      candidates.
+
+    A fixed salt count divides a mega-domain by a constant and leaves
+    phase-1 partitions data-sized; the derived plan keeps every window
+    partition <= ~window_target rows at ANY skew (expectation under
+    hash salting; pinned by test_cap_per_source_mega_domain_bounded).
+    Results are independent of ``window_target`` (tested), so the
+    oracle stays the plain single-window SQL.
     """
-    w1 = Window.partitionBy(
-        "source", F.pmod(F.col("doc_id"), F.lit(salts))
-    ).orderBy("doc_id")
-    cand = (
-        docs.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= k)
-        .drop("_rn1")
+    if k >= window_target:
+        raise ValueError(f"k={k} must be < window_target={window_target}")
+    max_n = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+        or 0
     )
+    cand = docs
+    bound, level = max_n, 0
+    while bound > window_target:
+        salts = -(-bound // window_target)  # ceil
+        w = Window.partitionBy(
+            "source",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(level)), F.lit(salts)),
+        ).orderBy("doc_id")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        new_bound = k * salts
+        if new_bound >= bound:  # k ~ window_target: no further progress
+            break
+        bound, level = new_bound, level + 1
     w2 = Window.partitionBy("source").orderBy("doc_id")
     return (
         cand.withColumn("_rn", F.row_number().over(w2))

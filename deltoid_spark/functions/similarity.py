@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -245,7 +247,52 @@ def ivf_assignments(emb: DataFrame, n_lists: int = 8) -> DataFrame:
         )
         .collect()
     ]
-    return emb.select("vec_id", _list_id_expr(cents).alias("list_id"))
+    return emb.select("vec_id", list_id_col(cents).alias("list_id"))
+
+
+_ASSIGN_EXPR_MAX_LISTS = 64
+
+
+def list_id_col(cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid list assignment as a Column, size-gated
+    (same shape as the portable-hash switch in functions/hashing.py):
+
+    * <= _ASSIGN_EXPR_MAX_LISTS centroids: the literal-expression
+      argmax (_list_id_expr) — zero Python, sequential folds that
+      DuckDB reproduces bit-for-bit, but the PLAN grows linearly in
+      n_lists (each centroid is a literal array in the projection), so
+      it stops being the right shape past plan-literal range.
+    * larger codebooks: an Arrow-batched pandas_udf over a broadcast
+      numpy centroid matrix (_list_id_pandas) — plan size is constant
+      in n_lists (the matrix rides the serialized udf, one BLAS matmul
+      per batch).  Tie-break matches (cos desc, cid asc).  numpy's
+      pairwise summation can differ from the sequential fold in the
+      last ulp, so exact-oracle paths (q29/q42, n_lists=8) stay on the
+      literal side of the gate; at n_lists where this path engages
+      there is no cross-engine oracle to disagree with.
+    """
+    if len(cents) <= _ASSIGN_EXPR_MAX_LISTS:
+        return _list_id_expr(cents)
+    return _list_id_pandas(cents)(F.col("embedding").cast("array<double>"))
+
+
+def _list_id_pandas(cents: list[tuple[int, list[float]]]):
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(cents, key=lambda t: t[0])  # argmax first-hit = cid asc
+    cids = np.array([cid for cid, _ in order], dtype=np.int64)
+    m = np.array([cv for _, cv in order], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    @pandas_udf("bigint")
+    def assign(embs: pd.Series) -> pd.Series:
+        v = np.asarray(embs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (v / norms) @ mn.T
+        return pd.Series(cids[sims.argmax(axis=1)])
+
+    return assign
 
 
 def _list_id_expr(cents: list[tuple[int, list[float]]]) -> Column:
@@ -328,7 +375,7 @@ def ivf_topk(
 
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        emb.withColumn("list_id", _list_id_expr(cents))
+        emb.withColumn("list_id", list_id_col(cents))
         .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",
@@ -377,7 +424,7 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = emb.select(
             F.col("embedding").cast("array<double>").alias("v"),
-            _list_id_expr(cents).alias("list_id"),
+            list_id_col(cents).alias("list_id"),
         )
         ex = assigned.select(
             "list_id", F.posexplode("v").alias("j", "x")
@@ -436,7 +483,7 @@ def ivf_topk_trained(
     ]
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        emb.withColumn("list_id", _list_id_expr(cents))
+        emb.withColumn("list_id", list_id_col(cents))
         .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",

@@ -366,9 +366,10 @@ def test_lm_coverage_ref_top_k_cap_wide_charset(spark):
 
 
 def test_cap_per_source_salt_independent(spark):
-    """Two-phase salted top-k keeps exactly the k lowest doc_ids per
-    source, for ANY salt count (the scale knob must not change the
-    answer), including sources under the cap."""
+    """Tree-reduction top-k keeps exactly the k lowest doc_ids per
+    source for ANY window_target (the scale knob must not change the
+    answer, whether it derives zero, one, or several salt levels),
+    including sources under the cap."""
     from deltoid_spark.functions.packing import cap_per_source
 
     rows = [(i, f"s{i % 3}", f"t{i}") for i in range(100)] + [
@@ -379,11 +380,60 @@ def test_cap_per_source_salt_independent(spark):
     for d, s, _ in rows:
         expect.setdefault(s, []).append(d)
     expect = {s: set(sorted(v)[:5]) for s, v in expect.items()}
-    for salts in (1, 4, 16):
+    for target in (7, 16, 40, 65536):  # 7/16 force multi-level plans
         got = {}
-        for r in cap_per_source(docs, k=5, salts=salts).collect():
+        for r in cap_per_source(docs, k=5, window_target=target).collect():
             got.setdefault(r["source"], set()).add(r["doc_id"])
-        assert got == expect, salts
+        assert got == expect, target
+
+
+def test_cap_per_source_mega_domain_bounded(spark):
+    """A planted mega-domain (20k rows, window_target=512) must never
+    put a data-sized partition through any ranking window: the derived
+    level plan salts it into ceil(bound/target) buckets per level and
+    the replicated salt expression proves no (source, bucket) group
+    exceeds ~target with real margin.  The answer still matches the
+    plain top-k."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from deltoid_spark.functions.packing import cap_per_source
+
+    n, target, k = 20_000, 512, 7
+    rows = [(i, "mega" if i % 50 else f"tail{i}", "t") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    got = sorted(
+        r["doc_id"]
+        for r in cap_per_source(docs, k=k, window_target=target).collect()
+        if r["source"] == "mega"
+    )
+    expect = sorted(d for d, s, _ in rows if s == "mega")[:k]
+    assert got == expect
+
+    # replicate level-0's salt expression: the largest (source, bucket)
+    # group is ~ bound/salts = target in expectation, never data-sized
+    max_n = n - n // 50  # mega rows
+    salts = -(-max_n // target)
+    biggest = (
+        docs.groupBy(
+            "source", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(0)), F.lit(salts))
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= 4 * target, biggest  # hash-uniform, generous margin
+
+    # level plan really is multi-level here: bound shrinks k*salts per
+    # level; assert the derived arithmetic terminates under target
+    bound, levels = max_n, 0
+    while bound > target:
+        s_ = -(-bound // target)
+        nb = k * s_
+        if nb >= bound:
+            break
+        bound, levels = nb, levels + 1
+    assert levels >= 1 and bound <= target
 
 
 def test_tfidf_top_terms_ordering(spark):
@@ -1043,3 +1093,51 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert 400 < by_lang["en"] < 600        # ~25% of 2000
     with pytest.raises(ValueError, match="permille"):
         packing.stratified_sample(df, rates={"en": 1001})
+
+
+def test_list_id_gate_paths_agree_and_plan_flat(spark):
+    """IVF list assignment is size-gated: small codebooks compile to
+    the literal-argmax expression (oracle-exact), large ones to an
+    Arrow-batched matmul over a broadcast centroid matrix.  On a
+    well-separated fixture (axis-aligned one-hot centroids, vectors
+    near one axis) the two paths assign identically, and the plan size
+    stays FLAT in n_lists on the pandas path while the literal plan
+    grows linearly — the reason the gate exists."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from deltoid_spark.functions import similarity
+
+    dim, n = 16, 120
+    rows = []
+    for i in range(n):
+        v = [0.01 * ((i + j) % 3) for j in range(dim)]
+        v[i % dim] = 1.0  # dominant axis -> unambiguous nearest centroid
+        rows.append((i, "d", [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    cents = [(c, [1.0 if j == c % dim else 0.0 for j in range(dim)])
+             for c in range(dim)]
+
+    lit = {r["vec_id"]: r["lid"] for r in
+           emb.select("vec_id", similarity._list_id_expr(cents).alias("lid")).collect()}
+    pnd = {r["vec_id"]: r["lid"] for r in
+           emb.select("vec_id", similarity._list_id_pandas(cents)(
+               F.col("embedding")).alias("lid")).collect()}
+    assert lit == pnd
+    assert set(lit.values()) == set(range(dim))  # every axis actually hit
+    expect = {i: i % dim for i in range(n)}
+    assert lit == expect
+
+    def plan_len(cs):
+        df = emb.select("vec_id", similarity.list_id_col(cs).alias("lid"))
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    def mk(n_lists):
+        rng = np.random.RandomState(7)
+        return [(c, [float(x) for x in rng.rand(dim)]) for c in range(n_lists)]
+
+    lit_8, lit_64 = plan_len(mk(8)), plan_len(mk(64))
+    pud_256, pud_1024 = plan_len(mk(256)), plan_len(mk(1024))
+    assert lit_64 > lit_8 * 2          # literal plan grows with n_lists
+    assert pud_1024 < pud_256 * 1.1    # pandas plan flat in n_lists
+    assert pud_1024 < lit_64           # and smaller than the 64-literal plan
