@@ -1268,6 +1268,23 @@ def _decode_fragments(
         for name, ddl in spec:
             if name == content_col:
                 continue
+            if ddl.startswith(("struct<", "array<")) and "map<" not in ddl:
+                # map-free nested trees cross the boundary Arrow-backed:
+                # zero python-object materialization AND float NaN inside
+                # leaves stays a value (Spark's own pandas->Arrow
+                # conversion would null NaN found in object cells).
+                # Map cells MUST stay python dicts — Spark's serializer
+                # runs a per-cell dict converter (convert_map) on them.
+                # strlist/mapdelta-coded blocks have no arrow path and
+                # fall back to exact python objects.
+                try:
+                    a = api.decode_block_arrow(bufs[name])
+                    fr[name] = pd.Series(
+                        pd.arrays.ArrowExtensionArray(a), dtype=pd.ArrowDtype(a.type)
+                    )
+                    continue
+                except ValueError:
+                    pass
             fr[name] = _from_storage(api.decode_block(bufs[name]), ddl)
         if content_col is not None:
             keys = (
@@ -1384,6 +1401,56 @@ def make_decode_kernel(
 
 # retained for callers that decode the fixed code-table layout directly
 _decode_partition = make_decode_kernel(DEFAULT_SPEC)
+
+
+# Spark-side Arrow type per DDL for the decode job's applyInArrow
+# return boundary.  Timestamps are tz-aware UTC (storage is UTC-epoch
+# micros — the cast reinterprets, it does not shift).
+_SPARK_SCALAR_ARROW = {
+    "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+    "smallint": pa.int16(), "tinyint": pa.int8(), "boolean": pa.bool_(),
+    "float": pa.float32(), "double": pa.float64(),
+    "timestamp": pa.timestamp("us", tz="UTC"), "date": pa.date32(),
+}
+
+
+def _spark_arrow_type(ddl: str) -> pa.DataType:
+    if ddl in _SPARK_SCALAR_ARROW:
+        return _SPARK_SCALAR_ARROW[ddl]
+    from ..kernels import nested as nested_kernel
+
+    return nested_kernel.spark_arrow_type(nested_kernel.parse_ddl(ddl))
+
+
+def _col_to_arrow(s: pd.Series, ddl: str) -> pa.Array:
+    """One decoded column -> the exact Arrow array Spark's applyInArrow
+    verifier expects.  We own this conversion (instead of letting
+    Spark's pandas serializer do it) because the pandas path nulls NaN
+    found inside nested float cells — Spark treats NaN as a VALUE."""
+    t = _spark_arrow_type(ddl)
+    if isinstance(s.dtype, pd.ArrowDtype):
+        a = s.array.__arrow_array__()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return a if a.type == t else a.cast(t)
+    if len(s) == 0:
+        return pa.array([], type=t)
+    if ddl.startswith(("struct<", "array<", "map<")):
+        from ..kernels.nested import _obj_list
+
+        return pa.array(_obj_list(s), type=t)
+    if ddl == "timestamp":
+        return pa.Array.from_pandas(s).cast(t)
+    if ddl == "date":
+        return pa.array(
+            [None if v is None or v is pd.NaT else v for v in s.tolist()], type=t
+        )
+    return pa.Array.from_pandas(s, type=t)
+
+
+def _pdf_to_arrow(out: pd.DataFrame, out_spec: list[tuple[str, str]]) -> pa.Table:
+    arrays = [_col_to_arrow(out[name], ddl) for name, ddl in out_spec]
+    return pa.Table.from_arrays(arrays, names=[n for n, _ in out_spec])
 
 
 def _active_blocks(
@@ -1662,19 +1729,29 @@ def decode(
                 pred = pred & (F.col(wcol) <= _lit(whi))
         return df.filter(pred)
 
+    # applyInArrow, not applyInPandas: the return boundary mirrors the
+    # encode side — we own the pandas -> Arrow conversion, so NaN inside
+    # (nested) float columns crosses as a VALUE (Spark's own pandas
+    # serializer nulls it) and Arrow-backed columns (content, map-free
+    # nested trees) cross zero-copy with no python materialization.
     if with_part_id:
 
-        def kernel_with_part(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = kernel(pdf)
-            out.insert(0, "part_id", int(pdf["part_id"].iloc[0]))
-            return out
+        def kernel_with_part(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.to_pandas()
+            out = _pdf_to_arrow(kernel(pdf), out_spec)
+            pid = pa.array([int(pdf["part_id"].iloc[0])] * len(out), type=pa.int64())
+            return out.add_column(0, "part_id", pid)
 
         return _residual(
-            blocks.groupBy("part_id").applyInPandas(
+            blocks.groupBy("part_id").applyInArrow(
                 kernel_with_part, f"part_id long, {row_schema}"
             )
         )
-    return _residual(blocks.groupBy("part_id").applyInPandas(kernel, row_schema))
+
+    def kernel_arrow(tbl: pa.Table) -> pa.Table:
+        return _pdf_to_arrow(kernel(tbl.to_pandas()), out_spec)
+
+    return _residual(blocks.groupBy("part_id").applyInArrow(kernel_arrow, row_schema))
 
 
 # ------------------------------------------------------------- J3 verify ----

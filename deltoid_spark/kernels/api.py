@@ -88,6 +88,8 @@ def decode_block_arrow(buf: bytes, **kw):
             idx = np.arange(len(arr), dtype=np.int64)
             return arr.take(pa.array(idx, mask=mask))
         return arr
+    if codec == "nested":
+        return nested.decode_nested_arrow(meta, payload)
     raise ValueError(f"no arrow decode path for codec {codec!r}")
 
 

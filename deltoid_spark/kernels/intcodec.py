@@ -63,6 +63,62 @@ def unpack_ints_z(meta: dict, payload: bytes) -> np.ndarray:
     return unpack_ints(meta, payload)
 
 
+def pack_dint_z(values: np.ndarray) -> tuple[dict, bytes]:
+    """Unframed best-of {FoR, zigzag-delta, zigzag-delta-of-delta}
+    (+zstd) — the DINT selection for int leaves INSIDE other codecs
+    (nested leaf arrays, offsets).  Same candidates and modular-int64
+    arithmetic as the framed ``encode_dint``; the winning mode (and
+    the d1/d2 first values) travel in the returned meta, so
+    ``unpack_dint_z`` is self-describing and falls back to plain
+    ``unpack_ints_z`` for metas written before this codec existed
+    (no "m" key)."""
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    cands: dict[str, tuple[dict, bytes]] = {"f": pack_ints(v)}
+    if n >= 2:
+        with np.errstate(over="ignore"):
+            d1 = v[1:] - v[:-1]
+        cands["d1"] = pack_ints(_zigzag(d1).view(np.int64))
+        if n >= 3:
+            with np.errstate(over="ignore"):
+                d2 = d1[1:] - d1[:-1]
+            cands["d2"] = pack_ints(_zigzag(d2).view(np.int64))
+    _meta_cost = {"f": 0, "d1": 14, "d2": 28}
+    mode = min(cands, key=lambda k: len(cands[k][1]) + _meta_cost[k])
+    m, pay = cands[mode]
+    meta = dict(m)
+    if mode != "f":
+        meta["m"] = mode
+        meta["v0"] = int(v[0])
+        if mode == "d2":
+            meta["v1"] = int(v[1])
+    if len(pay) > 256:
+        comp = blocks.compress(pay)
+        if len(comp) < len(pay):
+            return {**meta, "z": len(pay)}, comp
+    return meta, pay
+
+
+def unpack_dint_z(meta: dict, payload: bytes) -> np.ndarray:
+    packed = unpack_ints_z(meta, payload)
+    mode = meta.get("m", "f")
+    if mode == "f":
+        return packed
+    if mode == "d1":
+        d1 = _unzigzag(packed.view(np.uint64))
+        with np.errstate(over="ignore"):
+            return np.concatenate(
+                ([meta["v0"]], np.int64(meta["v0"]) + np.cumsum(d1))
+            ).astype(np.int64)
+    d2 = _unzigzag(packed.view(np.uint64))
+    with np.errstate(over="ignore"):
+        first_d = np.int64(meta["v1"]) - np.int64(meta["v0"])
+        d1 = np.concatenate(([first_d], first_d + np.cumsum(d2))).astype(np.int64)
+        return np.concatenate(
+            ([meta["v0"]], np.int64(meta["v0"]) + np.cumsum(d1))
+        ).astype(np.int64)
+
+
 # --------------------------------------------------------------- framed ----
 
 

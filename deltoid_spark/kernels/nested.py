@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import blocks
-from .intcodec import pack_ints_z, unpack_ints_z
+from .intcodec import pack_dint_z, pack_ints_z, unpack_dint_z, unpack_ints_z
 
 _SCALAR_ARROW = {
     "string": pa.large_utf8(),
@@ -129,6 +129,16 @@ def is_supported_ddl(ddl: str) -> bool:
 # --------------------------------------------------------------- encode ----
 
 
+def _obj_list(series: pd.Series) -> list:
+    """pandas object Series -> python list with row-level missing
+    markers (None / float NaN used by pandas as a cell-absent marker
+    for non-float cells) normalized to None.  NaN INSIDE a nested
+    float leaf is untouched — it arrives wrapped in a list/dict cell."""
+    out = series.tolist() if isinstance(series, pd.Series) else list(series)
+    return [None if v is None or (isinstance(v, float) and v != v) else v
+            for v in out]
+
+
 def _null_mask(arr: pa.Array) -> np.ndarray:
     if arr.null_count == 0:
         return np.zeros(len(arr), dtype=bool)
@@ -143,6 +153,45 @@ def _mask_part(meta: dict, arr: pa.Array) -> list[bytes]:
     mb = blocks.pack_mask(mask)
     meta["mask_len"] = len(mb)
     return [mb]
+
+
+def _try_decimal_leaf(vals: np.ndarray) -> tuple[dict, bytes] | None:
+    """ALP pseudo-decimal for a nested double leaf (same idea, probe,
+    and exactness argument as kernels/floats.encode_fp): scaled int64s
+    (DINT-packed) + an exception list for non-conforming values.
+    Returns (meta_fields, payload) or None when the leaf isn't
+    decimal.  Exactness: decode divides by the binary-exact 10^e the
+    encode-side check used, so conforming values round-trip
+    bit-for-bit; NaN/inf/-0.0 ride the exception list verbatim."""
+    from .floats import _decimal_probe
+
+    probe = _decimal_probe(vals, np.zeros(len(vals), dtype=bool))
+    if probe is None:
+        return None
+    e, ok = probe
+    d = np.zeros(len(vals), dtype=np.int64)
+    with np.errstate(invalid="ignore", over="ignore"):
+        d[ok] = np.round(vals[ok] * (10.0 ** e)).astype(np.int64)
+    exc_pos = np.flatnonzero(~ok)
+    imeta, ipay = pack_dint_z(d)
+    pmeta, ppay = pack_ints_z(exc_pos)
+    exc_raw = vals[exc_pos].tobytes()
+    meta = {
+        "e10": e, "di": imeta, "dlen": len(ipay),
+        "ep": pmeta, "eplen": len(ppay), "nexc": len(exc_pos),
+    }
+    return meta, ipay + ppay + exc_raw
+
+
+def _decode_decimal_leaf(meta: dict, payload: bytes) -> np.ndarray:
+    d = unpack_dint_z(meta["di"], payload[: meta["dlen"]])
+    payload = payload[meta["dlen"]:]
+    exc_pos = unpack_ints_z(meta["ep"], payload[: meta["eplen"]])
+    payload = payload[meta["eplen"]:]
+    vals = d.astype(np.float64) / (10.0 ** meta["e10"])
+    if meta["nexc"]:
+        vals[exc_pos] = np.frombuffer(payload, dtype=np.float64, count=meta["nexc"])
+    return vals
 
 
 def _enc(arr: pa.Array, node, level, parts: list[bytes]) -> dict:
@@ -170,7 +219,10 @@ def _enc(arr: pa.Array, node, level, parts: list[bytes]) -> dict:
                 ints = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.int64)
             else:
                 ints = arr.fill_null(0).to_numpy().astype(np.int64)
-            imeta, ipay = pack_ints_z(ints)
+            # DINT best-of {FoR, delta, delta-of-delta}: nested
+            # timestamp/id leaves are exactly the regular sequences the
+            # delta family wins on (see intcodec.encode_dint)
+            imeta, ipay = pack_dint_z(ints)
             meta["i"] = imeta
             meta["len"] = len(ipay)
             parts.append(ipay)
@@ -179,6 +231,14 @@ def _enc(arr: pa.Array, node, level, parts: list[bytes]) -> dict:
             vals = arr.fill_null(0.0).to_numpy().astype(np_dt, copy=False)
             raw = vals.tobytes()
             comp = blocks.compress(raw, level)
+            if st == "double":
+                dec = _try_decimal_leaf(vals)
+                if dec is not None and len(dec[1]) < len(comp):
+                    dmeta, dpay = dec
+                    meta.update(dmeta)
+                    meta["len"] = len(dpay)
+                    parts.append(dpay)
+                    return meta
             meta["raw"] = len(raw)
             meta["len"] = len(comp)
             parts.append(comp)
@@ -210,7 +270,11 @@ def _enc(arr: pa.Array, node, level, parts: list[bytes]) -> dict:
 
 def encode_nested(series: pd.Series, ddl: str, level: int | None = None) -> bytes:
     node = parse_ddl(ddl)
-    arr = pa.array(series, type=arrow_type(node), from_pandas=True)
+    # from_pandas=False: None still maps to null, but a float NaN inside
+    # a nested double leaf stays a VALUE — Spark treats NaN as a value,
+    # and the pipeline's to_pylist boundary delivers it as float('nan');
+    # from_pandas=True would silently null it (round-6 fix).
+    arr = pa.array(_obj_list(series), type=arrow_type(node))
     parts: list[bytes] = []
     tree = _enc(arr, node, level, parts)
     meta = {"ddl": ddl, "tree": tree}
@@ -220,7 +284,7 @@ def encode_nested(series: pd.Series, ddl: str, level: int | None = None) -> byte
 def nested_raw_bytes(series: pd.Series, ddl: str) -> int:
     """Uncompressed-size proxy: leaf strings' utf-8 bytes + fixed widths."""
     node = parse_ddl(ddl)
-    arr = pa.array(series, type=arrow_type(node), from_pandas=True)
+    arr = pa.array(_obj_list(series), type=arrow_type(node))
 
     def walk(a: pa.Array, nd) -> int:
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
@@ -276,7 +340,7 @@ def _dec(meta: dict, node, payload: bytes, p: int) -> tuple[pa.Array, int]:
             )
             return out, p
         if st in _INT_LIKE:
-            ints = unpack_ints_z(meta["i"], payload[p : p + meta["len"]])
+            ints = unpack_dint_z(meta["i"], payload[p : p + meta["len"]])
             p += meta["len"]
             if st == "boolean":
                 data = pa.py_buffer(
@@ -292,6 +356,16 @@ def _dec(meta: dict, node, payload: bytes, p: int) -> tuple[pa.Array, int]:
                 data = pa.py_buffer(ints.astype(np.int64).tobytes())
             return pa.Array.from_buffers(atype, n, [validity, data], null_count=nulls), p
         # float / double
+        if "e10" in meta:  # ALP pseudo-decimal leaf (doubles only)
+            vals = _decode_decimal_leaf(meta, payload[p : p + meta["len"]])
+            p += meta["len"]
+            return (
+                pa.Array.from_buffers(
+                    atype, n, [validity, pa.py_buffer(vals.tobytes())],
+                    null_count=nulls,
+                ),
+                p,
+            )
         raw = blocks.decompress(payload[p : p + meta["len"]], meta["raw"])
         p += meta["len"]
         return pa.Array.from_buffers(atype, n, [validity, pa.py_buffer(raw)], null_count=nulls), p
@@ -383,3 +457,34 @@ def decode_nested(meta: dict, payload: bytes) -> pd.Series:
     if conv is not None:
         out = [conv(v) for v in out]
     return pd.Series(out, dtype=object)
+
+
+def spark_arrow_type(node) -> pa.DataType:
+    """The non-large Arrow type Spark's arrow serializer expects for
+    this node (utf8/list_, not large_utf8/large_utf8; timestamps
+    tz-aware UTC — storage is UTC-epoch micros, so the cast is a
+    reinterpretation, not a shift)."""
+    kind = node[0]
+    if kind == "scalar":
+        if node[1] == "timestamp":
+            return pa.timestamp("us", tz="UTC")
+        t = _SCALAR_ARROW[node[1]]
+        return pa.utf8() if t == pa.large_utf8() else t
+    if kind == "array":
+        return pa.list_(spark_arrow_type(node[1]))
+    if kind == "map":
+        return pa.map_(spark_arrow_type(node[1]), spark_arrow_type(node[2]))
+    return pa.struct([(f, spark_arrow_type(t)) for f, t in node[1]])
+
+
+def decode_nested_arrow(meta: dict, payload: bytes) -> pa.Array:
+    """Arrow-native decode: the rebuilt tree cast to the Spark-side
+    (non-large) Arrow type, ready to cross the applyInPandas boundary
+    as an ArrowExtensionArray-backed column.  Crossing in Arrow (a) is
+    zero-object (no python list/dict materialization on the read path)
+    and (b) preserves NaN inside float leaves as a VALUE — the
+    python-object path cannot, because Spark's own pandas -> Arrow
+    conversion nulls NaN found in object cells."""
+    node = parse_ddl(meta["ddl"])
+    arr, _p = _dec(meta["tree"], node, payload, 0)
+    return arr.cast(spark_arrow_type(node))

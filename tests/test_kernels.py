@@ -574,3 +574,79 @@ class TestStrList:
 
         dec = api.decode_block(api.encode_block(pd.Series([], dtype=object), "strlist"))
         assert dec.tolist() == []
+
+
+def test_nested_leaf_dint_and_decimal():
+    """Nested leaf codec upgrades (round-6): int leaves route through
+    the DINT best-of family and double leaves through the ALP
+    pseudo-decimal probe, so regular timestamp/measurement leaves
+    inside arrays shrink well below the plain FoR/lanes encoding —
+    golden-size-bounded here — while irregular leaves stay on the old
+    path and EVERYTHING round-trips exactly (NaN/inf/-0.0 exceptions
+    included)."""
+    import numpy as np
+    import pandas as pd
+
+    from deltoid_spark.kernels.nested import (
+        decode_nested,
+        encode_nested,
+    )
+    from deltoid_spark.kernels import blocks as blk
+
+    # regular timestamp leaves: delta-of-delta packs a near-constant
+    # cadence to ~0 bits/value
+    ts = pd.Series(
+        [[1_700_000_000_000 + 60_000 * (8 * i + j) for j in range(8)]
+         for i in range(300)],
+        dtype=object,
+    )
+    buf_ts = encode_nested(ts, "array<bigint>")
+    _c, meta_ts, _p = blk.unframe(buf_ts)
+    leaf = meta_ts["tree"]["child"]["i"]
+    assert leaf.get("m") in ("d1", "d2")        # delta family actually won
+    assert len(buf_ts) < 2400                    # ~1 byte/value incl. framing
+    got = decode_nested(*blk.unframe(buf_ts)[1:])
+    assert [list(x) for x in got] == [list(x) for x in ts]
+
+    # decimal measurement leaves: pseudo-decimal beats lanes+zstd
+    rngp = np.random.RandomState(0)  # irregular cents walk (seeded)
+    cents = np.cumsum(rngp.randint(-60, 60, 2400)) + 100000
+    prices = pd.Series(
+        [[float(cents[8 * i + j]) / 100.0 for j in range(8)]
+         for i in range(300)],
+        dtype=object,
+    )
+    buf_pr = encode_nested(prices, "array<double>")
+    _c, meta_pr, _p = blk.unframe(buf_pr)
+    assert "e10" in meta_pr["tree"]["child"]     # decimal mode engaged
+    # counterfactual: lanes+zstd of the same doubles is much larger
+    flat = np.array([x for row in prices for x in row])
+    lanes = blk.compress(flat.tobytes())
+    assert len(buf_pr) < 0.8 * len(lanes)
+    got = decode_nested(*blk.unframe(buf_pr)[1:])
+    for a, b in zip(got, prices):
+        assert list(a) == list(b)
+
+    # adversarial doubles: exceptions (NaN/inf/-0.0) round-trip exactly
+    # and non-decimal leaves fall back to lanes
+    weird = pd.Series(
+        [[1.25, float("nan"), float("inf"), -0.0, 3.5],
+         [np.pi, np.e, 2**-40, -np.pi, 1e300]],
+        dtype=object,
+    )
+    buf_w = encode_nested(weird, "array<double>")
+    got = decode_nested(*blk.unframe(buf_w)[1:])
+    for a, b in zip(got, weird):
+        for x, y in zip(a, b):
+            if np.isnan(y):
+                assert np.isnan(x)
+            else:
+                assert x == y and np.signbit(x) == np.signbit(y)
+
+    # irregular ints keep round-tripping (mode may be plain FoR)
+    rng = np.random.RandomState(3)
+    rnd = pd.Series([[int(v) for v in rng.randint(-2**60, 2**60, 5)]
+                     for _ in range(50)], dtype=object)
+    buf_r = encode_nested(rnd, "array<bigint>")
+    got = decode_nested(*blk.unframe(buf_r)[1:])
+    assert [list(x) for x in got] == [list(x) for x in rnd]

@@ -859,3 +859,56 @@ def test_zone_map_pruning_timestamps(spark, tmp_path_factory):
     ).select("part_id").distinct().count()
     allp = decode(spark, out, with_part_id=True).select("part_id").distinct().count()
     assert pruned < allp
+
+
+def test_nested_nan_is_a_value_not_null(spark, tmp_path_factory):
+    """Spark treats float NaN as a VALUE, distinct from null.  The
+    python-object boundary (pandas -> Arrow inside Spark's own
+    applyInPandas serializer) silently nulls NaN found in nested float
+    cells, so the decode job returns through applyInArrow with our own
+    conversion (round-6 fix) and the nested kernel builds its Arrow
+    tree without from_pandas coercion.  Pins: NaN round-trips as NaN,
+    null round-trips as null, in both array<double> and a struct-nested
+    array, alongside dict-crossing map columns."""
+    import math
+
+    out = str(tmp_path_factory.mktemp("nestnan"))
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                f"org/r{i % 3}", f"p{i}.py", f"c{i:06d}", f"body {i}",
+                [float(i), float("nan") if i % 10 == 0 else 0.5, None],
+                {"st": {"xs": [1.25, float("nan") if i % 20 == 0 else -0.0]}},
+                {"k": i},
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, content string, "
+        "prices array<double>, blob map<string,struct<xs:array<double>>>, "
+        "counts map<string,bigint>",
+    )
+    manifest = encode(spark, df, out, target_rows=60)
+    assert all(r["status"] == "committed" for r in manifest.collect())
+    decoded = decode(spark, out)
+    got = {r["commit"]: r for r in decoded.collect()}
+    assert len(got) == 200
+    n_nan = 0
+    for i in range(200):
+        g = got[f"c{i:06d}"]
+        # array<double>: NaN is a value, None is a null — never swapped
+        assert g.prices[0] == float(i) and g.prices[2] is None
+        if i % 10 == 0:
+            assert g.prices[1] is not None and math.isnan(g.prices[1])
+            n_nan += 1
+        else:
+            assert g.prices[1] == 0.5
+        xs = g.blob["st"]["xs"]
+        assert xs[0] == 1.25
+        if i % 20 == 0:
+            assert xs[1] is not None and math.isnan(xs[1])
+        else:
+            assert xs[1] == 0.0 and math.copysign(1.0, xs[1]) == -1.0
+        assert dict(g.counts) == {"k": i}
+    assert n_nan == 20
