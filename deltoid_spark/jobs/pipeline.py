@@ -196,9 +196,20 @@ def _table_to_pdf(
             # views/kernels expect large_utf8 — cast once (data shared)
             arrows[name] = one if one.type == pa.large_utf8() else one.cast(pa.large_utf8())
         elif ddl.startswith(("struct<", "array<", "map<")):
-            # exact python objects (ints stay ints); the nested/strlist/
-            # mapdelta kernels re-enter Arrow from these without loss
-            cols[name] = pd.Series(col.to_pylist(), dtype=object)
+            if ddl != "array<string>":
+                # nested trees stay Arrow end-to-end: the NESTED codec
+                # consumes the array directly (kernels/nested._input_arrow),
+                # so no python list/dict is ever materialized on encode —
+                # and bigints past 2^53 / NaN-vs-null survive by
+                # construction (round-6)
+                one = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                cols[name] = pd.Series(
+                    pd.arrays.ArrowExtensionArray(one), dtype=pd.ArrowDtype(one.type)
+                )
+            else:
+                # array<string> routes to STRLIST, which takes exact
+                # python lists
+                cols[name] = pd.Series(col.to_pylist(), dtype=object)
         elif ddl == "timestamp":
             s = col.to_pandas()
             if getattr(s.dtype, "tz", None) is not None:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import struct
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -111,24 +112,34 @@ def unpack_mask(data: bytes, n: int) -> np.ndarray:
 def bitpack(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative uint64 values into `width` bits each.
 
-    Vectorized: value -> (n, width) bit matrix -> np.packbits.
+    Byte-identical layout to the original bit-matrix version, but the
+    matrix is produced by ``np.unpackbits`` over the little-endian BYTE
+    view of the values (n x 64 uint8 intermediate) instead of a
+    ``(n, width)`` uint64 shift broadcast (n x width x 9 bytes) — ~9x
+    less intermediate memory and C-speed bit twiddling, which matters
+    because nested leaves multiply n by the list length.
     """
     n = len(values)
     if n == 0 or width == 0:
         return b""
-    v = values.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    v = np.ascontiguousarray(values.astype(np.uint64, copy=False))
+    if sys.byteorder != "little":  # pragma: no cover — x86/arm LE hosts
+        v = v.byteswap()
+    bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")
+    return np.packbits(bits[:, :width].reshape(-1), bitorder="little").tobytes()
 
 
 def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
     if n == 0 or width == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
-    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out = np.zeros((n, 64), dtype=np.uint8)
+    out[:, :width] = bits[: n * width].reshape(n, width)
+    packed = np.packbits(out.reshape(-1), bitorder="little").tobytes()
+    arr = np.frombuffer(packed, dtype=np.uint64)
+    if sys.byteorder != "little":  # pragma: no cover
+        arr = arr.byteswap()
+    return arr
 
 
 def bit_width(max_value: int) -> int:

@@ -268,13 +268,26 @@ def _enc(arr: pa.Array, node, level, parts: list[bytes]) -> dict:
     return meta
 
 
+def _input_arrow(series, node) -> pa.Array:
+    """Series -> the codec's internal Arrow tree.  An Arrow-backed
+    series (pd.ArrowDtype — the encode job hands nested columns over
+    without ever materializing python objects) is cast zero-copy-ish to
+    the internal large types; an object series converts WITHOUT
+    from_pandas coercion: None still maps to null, but a float NaN
+    inside a nested double leaf stays a VALUE — Spark treats NaN as a
+    value (round-6 fix)."""
+    if isinstance(series, pd.Series) and isinstance(series.dtype, pd.ArrowDtype):
+        a = series.array.__arrow_array__()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        t = arrow_type(node)
+        return a if a.type == t else a.cast(t)
+    return pa.array(_obj_list(series), type=arrow_type(node))
+
+
 def encode_nested(series: pd.Series, ddl: str, level: int | None = None) -> bytes:
     node = parse_ddl(ddl)
-    # from_pandas=False: None still maps to null, but a float NaN inside
-    # a nested double leaf stays a VALUE — Spark treats NaN as a value,
-    # and the pipeline's to_pylist boundary delivers it as float('nan');
-    # from_pandas=True would silently null it (round-6 fix).
-    arr = pa.array(_obj_list(series), type=arrow_type(node))
+    arr = _input_arrow(series, node)
     parts: list[bytes] = []
     tree = _enc(arr, node, level, parts)
     meta = {"ddl": ddl, "tree": tree}
@@ -284,7 +297,7 @@ def encode_nested(series: pd.Series, ddl: str, level: int | None = None) -> byte
 def nested_raw_bytes(series: pd.Series, ddl: str) -> int:
     """Uncompressed-size proxy: leaf strings' utf-8 bytes + fixed widths."""
     node = parse_ddl(ddl)
-    arr = pa.array(_obj_list(series), type=arrow_type(node))
+    arr = _input_arrow(series, node)
 
     def walk(a: pa.Array, nd) -> int:
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a

@@ -650,3 +650,36 @@ def test_nested_leaf_dint_and_decimal():
     buf_r = encode_nested(rnd, "array<bigint>")
     got = decode_nested(*blk.unframe(buf_r)[1:])
     assert [list(x) for x in got] == [list(x) for x in rnd]
+
+
+def test_bitpack_matches_bit_matrix_reference():
+    """Round-6 bitpack rewrite (unpackbits over the LE byte view, n x 64
+    uint8 intermediate) must stay BYTE-IDENTICAL to the original
+    (n, width) uint64 shift-broadcast formulation — the wire format is
+    pinned by every golden sha in the repo.  Checked for every width
+    0..64 including the 2^63 boundary."""
+    import numpy as np
+
+    from deltoid_spark.kernels import blocks as blk
+
+    def reference_pack(values, width):
+        n = len(values)
+        if n == 0 or width == 0:
+            return b""
+        v = values.astype(np.uint64, copy=False)
+        shifts = np.arange(width, dtype=np.uint64)
+        bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+    rng = np.random.RandomState(7)
+    for width in range(65):
+        for n in (0, 1, 3, 257):
+            if width == 64:
+                v = rng.randint(0, 2**63, n, dtype=np.uint64) * 2 + rng.randint(
+                    0, 2, n, dtype=np.uint64
+                )
+            else:
+                v = rng.randint(0, 2**width if width else 1, n, dtype=np.uint64)
+            packed = blk.bitpack(v, width)
+            assert packed == reference_pack(v, width), (width, n)
+            assert (blk.bitunpack(packed, n, width) == v).all(), (width, n)
