@@ -215,3 +215,55 @@ def test_png_roundtrip_property(w, h, filter_type, seed):
     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     back = multimodal.decode_png(multimodal.encode_png(px, filter_type=filter_type))
     assert back.shape == px.shape and (back == px).all()
+
+
+# ------------------------------------------------- nested DINT/ALP fuzz ----
+
+st_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+st_doubles = st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.decimals(min_value=-10**6, max_value=10**6, places=2).map(float),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.lists(st_i64, max_size=12)), max_size=40),
+    st.lists(st.one_of(st.none(), st.lists(st_doubles, max_size=12)), max_size=40),
+)
+def test_nested_dint_alp_leaf_roundtrip_property(int_rows, dbl_rows):
+    """Round-6 nested leaf codecs under fuzz: int leaves through the
+    unframed DINT best-of (full int64 range incl. the 2^63 wrap) and
+    double leaves through the ALP probe (NaN/inf/-0.0/subnormals ride
+    the exception list) must round-trip EXACTLY — NaN stays NaN (a
+    value), None stays None (a null), -0.0 keeps its sign."""
+    import math
+
+    from deltoid_spark.kernels import blocks as blk
+    from deltoid_spark.kernels.nested import decode_nested, encode_nested
+
+    ser = pd.Series(int_rows, dtype=object)
+    got = decode_nested(*blk.unframe(encode_nested(ser, "array<bigint>"))[1:])
+    assert len(got) == len(int_rows)
+    for g, e in zip(got, int_rows):
+        if e is None:
+            assert g is None
+        else:
+            assert [x for x in g] == e
+
+    ser_d = pd.Series(dbl_rows, dtype=object)
+    got_d = decode_nested(*blk.unframe(encode_nested(ser_d, "array<double>"))[1:])
+    assert len(got_d) == len(dbl_rows)
+    for g, e in zip(got_d, dbl_rows):
+        if e is None:
+            assert g is None
+            continue
+        assert len(g) == len(e)
+        for x, y in zip(g, e):
+            if y is None:
+                assert x is None
+            elif isinstance(y, float) and math.isnan(y):
+                assert x is not None and math.isnan(x)
+            else:
+                assert x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
