@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..kernels import (
     api,
     blocks as blocks_mod,
+    bloom as bloom_kernel,
     chain as chain_kernel,
     floats,
     mapdelta as mapdelta_kernel,
@@ -77,7 +78,7 @@ DEFAULT_CONTENT_COL = "content"
 BLOCK_SCHEMA = (
     "part_id long, frag_id long, column string, codec string, payload binary, "
     "n_rows long, raw_bytes long, enc_bytes long, sha256 string, wall_s double, "
-    "run_id string, zmin long, zmax long, smin string, smax string"
+    "run_id string, zmin long, zmax long, smin string, smax string, bloom binary"
 )
 
 ROW_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -458,12 +459,13 @@ def _encode_rows(
             out.append(
                 (part_id, frag_id, col, codec, buf, len(content_arr), raw,
                  len(buf), api.sha256_column_arrow(content_arr, view),
-                 time.time() - t0, run_id, None, None, None, None)
+                 time.time() - t0, run_id, None, None, None, None, None)
             )
             continue
         s = pdf[col]
         zmin = zmax = None
         smin = smax = None
+        blm = None
         if ddl == "string":
             # one Arrow conversion shared by raw-size, the PLAIN-gate
             # sample, the content digest, and the string zone map
@@ -484,6 +486,10 @@ def _encode_rows(
                 # class over a code corpus ("this repo only"); chained
                 # content bodies don't (not a range-predicate target)
                 smin, smax = _string_zone(arr)
+                # high-cardinality dims (commit/path) additionally get
+                # a Bloom filter: zones answer ranges, blooms answer
+                # the point probes hash-like columns can't zone-prune
+                blm = bloom_kernel.bloom_build(arr)
         elif ddl == "map<string,string>":
             # keyed Add/Edit/Remove chains over the same group layout the
             # content column uses (reference HashMap::delta)
@@ -498,7 +504,7 @@ def _encode_rows(
             sha = None
         out.append(
             (part_id, frag_id, col, codec, buf, len(s), raw, len(buf), sha,
-             time.time() - t0, run_id, zmin, zmax, smin, smax)
+             time.time() - t0, run_id, zmin, zmax, smin, smax, blm)
         )
     return out
 
@@ -506,7 +512,7 @@ def _encode_rows(
 _BLOCK_COLS = [
     "part_id", "frag_id", "column", "codec", "payload",
     "n_rows", "raw_bytes", "enc_bytes", "sha256", "wall_s", "run_id",
-    "zmin", "zmax", "smin", "smax",
+    "zmin", "zmax", "smin", "smax", "bloom",
 ]
 
 
@@ -527,7 +533,7 @@ def _error_row(part_id: int, frag_id: int, n_rows: int, exc: Exception, run_id: 
     "fail the partition, not the job" (reference taxonomy error.rs)."""
     msg = f"{type(exc).__name__}: {exc}".encode("utf-8", "replace")[:4096]
     return (part_id, frag_id, "*", "error", msg, n_rows, 0, 0, None,
-            time.time() - t0, run_id, None, None, None, None)
+            time.time() - t0, run_id, None, None, None, None, None)
 
 
 def make_encode_kernel(
@@ -646,6 +652,7 @@ def _block_arrow_schema() -> pa.Schema:
             ("run_id", pa.string()),
             ("zmin", pa.int64()), ("zmax", pa.int64()),
             ("smin", pa.string()), ("smax", pa.string()),
+            ("bloom", pa.binary()),
         ]
     )
 
@@ -1553,6 +1560,43 @@ def _zone_prune(
     return blocks.join(F.broadcast(hits), "part_id", "left_semi")
 
 
+def _bloom_prune(blocks: DataFrame, wcol: str, value: str) -> DataFrame:
+    """Point-probe pruning via per-block Bloom filters (kernels/bloom):
+    drop every partition in which EVERY active fragment's filter for
+    ``wcol`` proves ``value`` absent.  Null filters (pre-bloom tables,
+    low-cardinality columns, all-null fragments) count as possible
+    matches — like the zone maps, pruning is an optimization only; the
+    residual row filter after decode keeps exact semantics, so the
+    filter's false-positive rate affects scan cost, never results.
+    Runs distributed over the metadata-sized blocks DataFrame; the
+    probe value ships in the UDF closure."""
+    if "bloom" not in blocks.columns:
+        return blocks
+    from ..kernels.bloom import bloom_maybe
+
+    @F.pandas_udf("boolean")
+    def _maybe(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [True if x is None else bloom_maybe(bytes(x), value) for x in b]
+        )
+
+    hits = (
+        blocks.filter(F.col("column") == wcol)
+        .select("part_id", "bloom")
+        .withColumn(
+            "hit",
+            F.when(F.col("bloom").isNull(), F.lit(True)).otherwise(
+                _maybe(F.col("bloom"))
+            ),
+        )
+        .groupBy("part_id")
+        .agg(F.max(F.col("hit").cast("int")).alias("h"))
+        .filter(F.col("h") == 1)
+        .select("part_id")
+    )
+    return blocks.join(F.broadcast(hits), "part_id", "left_semi")
+
+
 def decode(
     spark: SparkSession,
     out_dir: str,
@@ -1708,11 +1752,15 @@ def decode(
         blocks = blocks.filter(F.col("column").isin(wanted))
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
-    for wcol, wddl, _wlo, _whi, zlo, zhi in zpreds:
+    for wcol, wddl, wlo, whi, zlo, zhi in zpreds:
         # multi-predicate pruning composes: each pass keeps only
         # partitions whose zones can intersect ITS range, so the
         # surviving set is the intersection across predicates
         blocks = _zone_prune(blocks, wcol, zlo, zhi, string_kind=(wddl == "string"))
+        if wddl == "string" and wlo is not None and wlo == whi:
+            # equality probe: zones rarely help on hash-like columns
+            # (commit/path); the per-block Bloom filter does
+            blocks = _bloom_prune(blocks, wcol, str(wlo))
 
     def _residual(df: DataFrame) -> DataFrame:
         if not zpreds:

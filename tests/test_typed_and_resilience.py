@@ -654,7 +654,7 @@ def test_partition_count_headroom_100k(spark, tmp_path_factory):
             "raw_bytes": np.int64(80), "enc_bytes": np.int64(20),
             "sha256": None, "wall_s": 0.0, "run_id": "r",
             "zmin": pids * 100, "zmax": pids * 100 + 99,
-            "smin": None, "smax": None,
+            "smin": None, "smax": None, "bloom": None,
         }
     )
     blocks = spark.createDataFrame(pdf, BLOCK_SCHEMA)
@@ -912,3 +912,70 @@ def test_nested_nan_is_a_value_not_null(spark, tmp_path_factory):
             assert xs[1] == 0.0 and math.copysign(1.0, xs[1]) == -1.0
         assert dict(g.counts) == {"k": i}
     assert n_nan == 20
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path_factory):
+    """Per-block Bloom filters (kernels/bloom) prune POINT probes on
+    hash-like string columns where zone maps cannot: interleaved hex
+    commits give every partition a near-global [smin, smax], so an
+    equality where=(commit, v, v) survives zone pruning everywhere —
+    the bloom then keeps only the partition(s) that can actually hold
+    v, and proves absence for a probe inside the global range.  The
+    residual filter keeps results exact regardless (false positives
+    cost scan, never correctness); blocks without a bloom column
+    (pre-bloom tables) stay unprunable."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from deltoid_spark.jobs import decode, encode
+    from deltoid_spark.jobs.pipeline import _active_blocks, _bloom_prune, _zone_prune
+
+    rows = []
+    commits = {}
+    for i in range(2400):
+        c = hashlib.md5(b"commit%d" % i).hexdigest()
+        commits[i] = c
+        rows.append(
+            ("org/r%d" % (i % 8), "p/%d.txt" % i, c, "py", "body %d" % i)
+        )
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path_factory.mktemp("bloom"))
+    manifest = encode(spark, df, out, target_rows=300)
+    nparts = manifest.select("part_id").distinct().count()
+    assert nparts >= 4
+
+    probe = commits[1234]
+    blocks = _active_blocks(spark, out, None)
+
+    def parts(b):
+        return {r["part_id"] for r in b.select("part_id").distinct().collect()}
+
+    zone_only = _zone_prune(blocks, "commit", probe, probe, string_kind=True)
+    assert len(parts(zone_only)) == nparts  # zones CANNOT prune interleaved hex
+    bloomed = _bloom_prune(zone_only, "commit", probe)
+    surv = parts(bloomed)
+    assert len(surv) < nparts  # the bloom is what prunes
+
+    # absent probe inside the global hex range: every partition proven out
+    absent = "f" * 31 + "0"
+    assert absent not in set(commits.values())
+    assert parts(_bloom_prune(blocks, "commit", absent)) == set()
+
+    # end-to-end exactness through decode(where=)
+    got = decode(spark, out, where=("commit", probe, probe)).collect()
+    assert len(got) == 1 and got[0]["commit"] == probe and got[0]["content"] == "body 1234"
+    assert decode(spark, out, where=("commit", absent, absent)).count() == 0
+
+    # low-cardinality columns skip the filter; equality still exact
+    assert decode(spark, out, where=("lang", "py", "py")).count() == 2400
+    lang_blocks = blocks.filter(F.col("column") == "lang")
+    assert all(r["bloom"] is None for r in lang_blocks.select("bloom").collect())
+    commit_blocks = blocks.filter(F.col("column") == "commit")
+    assert all(r["bloom"] is not None for r in commit_blocks.select("bloom").collect())
+
+    # tables whose block schema predates the bloom column: no-op prune
+    legacy = blocks.drop("bloom")
+    assert parts(_bloom_prune(legacy, "commit", absent)) == parts(legacy)
