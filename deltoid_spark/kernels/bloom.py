@@ -85,7 +85,12 @@ def _byte_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 def _byte_matrix_arrow(uniq: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Padded (n, _HASH_BYTES) byte matrix straight from a
     large_binary Array's offset/data buffers — one numpy gather, no
-    per-value python."""
+    per-value python.  Pad cells hold NEIGHBOR-value bytes, not zeros:
+    ``_fnv_pair_matrix`` masks every position >= the true length, so
+    pad content never reaches the hash — skipping the zeroing multiply
+    and the per-cell clamp saves two (n, 64) passes on this
+    bandwidth-bound host (encode-kernel profile: this function was 14%
+    of single-thread encode wall)."""
     uniq = uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq
     bufs = uniq.buffers()
     off = np.frombuffer(bufs[1], dtype=np.int64)[
@@ -93,11 +98,13 @@ def _byte_matrix_arrow(uniq: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     ]
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
     lens = np.diff(off)
-    cols = np.arange(_HASH_BYTES, dtype=np.int64)
-    idx = off[:-1, None] + cols[None, :]
-    live = cols[None, :] < lens[:, None]
-    mat = data[np.minimum(idx, max(len(data) - 1, 0))] * live
-    return mat.astype(np.uint8, copy=False), lens
+    # one tail pad keeps the LAST value's overhanging gather in bounds;
+    # int32 indices halve the gather-index traffic (block data buffers
+    # are far below 2^31 bytes)
+    data = np.concatenate([data, np.zeros(_HASH_BYTES, dtype=np.uint8)])
+    cols = np.arange(_HASH_BYTES, dtype=np.int32)
+    idx = off[:-1, None].astype(np.int32) + cols[None, :]
+    return data[idx], lens
 
 
 def _positions_vec(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:

@@ -176,24 +176,31 @@ def _precompute_deltas(
 
     Returns (choice, ecounts, eoff, local_idx, flat_elines, p, s,
     na, nb, m) where choice is 0=keyframe, 1=splice, 2=positional.
+
+    Index/temporary dtype is int32 when the block's line count allows
+    (always, in practice — blocks are bounded by target_rows): the big
+    temporaries here (rep, j, the gather indices) are line-count-sized,
+    and halving their width halves the traffic on this bandwidth-bound
+    host.  Values are unchanged, so encoded bytes stay identical.
     """
-    prev_lo = loffs[cand - 1]
-    cur_lo = loffs[cand]
-    cur_hi = loffs[cand + 1]
+    idt = np.int32 if len(codes) < (1 << 31) - 64 else np.int64
+    prev_lo = loffs[cand - 1].astype(idt)
+    cur_lo = loffs[cand].astype(idt)
+    cur_hi = loffs[cand + 1].astype(idt)
     na = cur_lo - prev_lo
     nb = cur_hi - cur_lo
     m = np.minimum(na, nb)
     D = len(cand)
-    seg_off = np.concatenate(([0], np.cumsum(m)))
-    tot = int(seg_off[-1])
-    rep = np.repeat(np.arange(D, dtype=np.int64), m)
-    j = np.arange(tot, dtype=np.int64) - seg_off[rep]
+    seg_off = np.concatenate(([0], np.cumsum(m, dtype=np.int64))).astype(idt)
+    tot = int(seg_off[-1]) if D else 0
+    rep = np.repeat(np.arange(D, dtype=idt), m)
+    j = np.arange(tot, dtype=idt) - seg_off[rep]
     neq = codes[prev_lo[rep] + j] != codes[cur_lo[rep] + j]
     nz = np.flatnonzero(neq)
     seg_nz = rep[nz]
     ecounts = np.bincount(seg_nz, minlength=D).astype(np.int64)
     eoff = np.concatenate(([0], np.cumsum(ecounts)))
-    local_idx = nz - seg_off[seg_nz]
+    local_idx = (nz - seg_off[seg_nz]).astype(idt)
     flat_elines = codes[cur_lo[seg_nz] + local_idx]
     # first mismatch per segment (defaults to m: full prefix match)
     p = m.copy()
@@ -203,13 +210,13 @@ def _precompute_deltas(
     # longest clean suffix within the undecided middle (reference
     # semantics: s = index of first mismatch scanning backwards)
     max_s = m - p
-    s = np.zeros(D, dtype=np.int64)
+    s = np.zeros(D, dtype=idt)
     sub = np.flatnonzero(max_s > 0)
     if len(sub):
         ms = max_s[sub]
-        off2 = np.concatenate(([0], np.cumsum(ms)))
-        rep2 = np.repeat(np.arange(len(sub), dtype=np.int64), ms)
-        j2 = np.arange(int(off2[-1]), dtype=np.int64) - off2[rep2]
+        off2 = np.concatenate(([0], np.cumsum(ms, dtype=np.int64))).astype(idt)
+        rep2 = np.repeat(np.arange(len(sub), dtype=idt), ms)
+        j2 = np.arange(int(off2[-1]), dtype=idt) - off2[rep2]
         a_start = prev_lo[sub] + na[sub] - ms
         b_start = cur_lo[sub] + nb[sub] - ms
         neq2 = codes[a_start[rep2] + j2] != codes[b_start[rep2] + j2]
@@ -282,7 +289,12 @@ def encode_chain(
     if n:
         la = pc.split_pattern(arr, pattern="\n")
         ld = pc.dictionary_encode(la.values)
-        codes = ld.indices.to_numpy().astype(np.int64)
+        # keep Arrow's native int32 dictionary codes: every compare and
+        # gather in the delta precompute moves half the bytes an int64
+        # upcast would (line counts per block are far below 2^31)
+        codes = ld.indices.to_numpy()
+        if codes.dtype != np.int32:
+            codes = codes.astype(np.int32)
         line_dict = ld.dictionary
         loffs = la.offsets.to_numpy().astype(np.int64)
         # per-line char counts via the (small) dictionary + prefix sums:
@@ -291,7 +303,7 @@ def encode_chain(
         line_lens = dlens[codes] if len(codes) else np.zeros(0, dtype=np.int64)
         clen = np.concatenate(([0], np.cumsum(line_lens)))
     else:
-        codes = np.zeros(0, dtype=np.int64)
+        codes = np.zeros(0, dtype=np.int32)
         line_dict = pa.array([], type=pa.large_utf8())
         loffs = np.zeros(1, dtype=np.int64)
         line_lens = np.zeros(0, dtype=np.int64)
@@ -362,6 +374,64 @@ def encode_chain(
         (vchoice, vecounts, veoff, vlocal, velines, vp, vs, vna, vnb, vm) = (
             _precompute_deltas(codes, loffs, line_lens, clen, cand)
         )
+
+    if not seeded.any():
+        # Unseeded blocks (the encode hot path): every delta row comes
+        # from the contiguous candidate set, so ALL per-delta streams
+        # fall out of the precompute vectorized — no per-row python.
+        # The loop below survives only for seeded appends (base text in
+        # a previous fragment), where the char-splice trial and seed
+        # code mapping are inherently per-group.
+        is_key = ~cand_mask
+        if len(cand):
+            is_key[cand[vchoice == 0]] = True
+            dmask = vchoice != 0
+            spl_d = vchoice[dmask] == 1
+            p_d = vp[dmask].astype(np.int64)
+            s_d = vs[dmask].astype(np.int64)
+            na_d = vna[dmask].astype(np.int64)
+            nb_d = vnb[dmask].astype(np.int64)
+            m_d = vm[dmask].astype(np.int64)
+            ec_d = vecounts[dmask]
+            lo_d = loffs[cand[dmask]]
+            splice_arr = spl_d
+            ecnt_arr = np.where(spl_d, nb_d - p_d - s_d, ec_d)
+            acnt_arr = np.where(spl_d, p_d, nb_d - m_d)
+            rcnt_arr = np.where(spl_d, na_d - p_d - s_d, np.maximum(na_d - nb_d, 0))
+            pos_e = np.repeat(vchoice == 2, vecounts)  # per flat edit entry
+            flat_idx = vlocal[pos_e].astype(np.int64)
+            # delta line stream = per delta row, in row order:
+            #   splice     -> codes[lo+p : hi-s]
+            #   positional -> codes at each edit position, then codes[lo+m : hi]
+            # assembled as one gather-index array via range expansion
+            L1 = np.where(spl_d, nb_d - p_d - s_d, ec_d)
+            L2 = np.where(spl_d, 0, nb_d - m_d)
+            out_off = np.concatenate(([0], np.cumsum(L1 + L2)))
+            gidx = np.empty(int(out_off[-1]), dtype=np.int64)
+            dest1 = _expand_ranges(out_off[:-1], L1)
+            mask1 = np.repeat(spl_d, L1)
+            gidx[dest1[mask1]] = _expand_ranges((lo_d + p_d)[spl_d], L1[spl_d])
+            rep_e = np.repeat(np.arange(len(cand), dtype=np.int64), vecounts)
+            gidx[dest1[~mask1]] = (
+                loffs[cand][rep_e[pos_e]] + vlocal[pos_e].astype(np.int64)
+            )
+            gidx[_expand_ranges((out_off[:-1] + L1)[~spl_d], L2[~spl_d])] = (
+                _expand_ranges((lo_d + m_d)[~spl_d], L2[~spl_d])
+            )
+            flat_line_codes = codes[gidx]
+        else:
+            splice_arr = np.zeros(0, dtype=bool)
+            ecnt_arr = acnt_arr = rcnt_arr = np.zeros(0, dtype=np.int64)
+            flat_idx = np.zeros(0, dtype=np.int64)
+            flat_line_codes = np.zeros(0, dtype=np.int64)
+        key_idx_arr = np.flatnonzero(is_key & ~is_null)
+        return _pack_chain(
+            n, keyframe_interval, group_sizes, seeded, is_key, is_null,
+            arr, line_dict, level, key_idx_arr, splice_arr,
+            ecnt_arr, acnt_arr, rcnt_arr, flat_idx, flat_line_codes,
+            char_streams_data=None,
+        )
+
     cursor = 0
 
     row = 0
@@ -497,35 +567,75 @@ def encode_chain(
                     key_idx.append(i)
         row += int(gsize)
 
+    return _pack_chain(
+        n, keyframe_interval, group_sizes, seeded, is_key, is_null, arr,
+        line_dict, level,
+        np.array(key_idx, dtype=np.int64),
+        np.array(splice_flags, dtype=bool),
+        np.array(edit_counts, dtype=np.int64),
+        np.array(add_counts, dtype=np.int64),
+        np.array(remove_counts, dtype=np.int64),
+        np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64),
+        np.concatenate(delta_lines) if delta_lines else np.zeros(0, dtype=np.int64),
+        (char_bits_l, char_cs, char_cd, char_frags),
+    )
+
+
+def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat int64 index array [starts[0]..+lens[0], starts[1]..+lens[1], …]."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    return starts[rep] + (np.arange(total, dtype=np.int64) - off[rep])
+
+
+def _pack_chain(
+    n: int,
+    keyframe_interval: int,
+    group_sizes,
+    seeded: np.ndarray,
+    is_key: np.ndarray,
+    is_null: np.ndarray,
+    arr: pa.Array,
+    line_dict: pa.Array,
+    level: int | None,
+    key_idx: np.ndarray,
+    splice_arr: np.ndarray,
+    ecnt_arr: np.ndarray,
+    acnt_arr: np.ndarray,
+    rcnt_arr: np.ndarray,
+    flat_idx: np.ndarray,
+    flat_line_codes: np.ndarray,
+    char_streams_data: tuple | None,
+) -> bytes:
+    """Serialize the chain streams (shared by the vectorized unseeded
+    path and the seeded per-group loop; stream layout unchanged, so
+    blocks stay byte-identical to the pre-split encoder)."""
     gmeta, gpay = pack_ints(np.asarray(group_sizes, dtype=np.int64))
     seed_bits = blocks.pack_mask(seeded)
     key_bits = blocks.pack_mask(is_key)
     null_bits = blocks.pack_mask(is_null)
-    splice_bits = blocks.pack_mask(np.array(splice_flags, dtype=bool))
+    splice_bits = blocks.pack_mask(splice_arr)
     # keyframe texts and delta lines leave as Arrow takes (C gathers),
     # never as Python strings
     keys_block = encode_plain_arrow(
-        arr.take(pa.array(np.array(key_idx, dtype=np.int64))), level
+        arr.take(pa.array(np.asarray(key_idx, dtype=np.int64))), level
     )
-    emeta, epay = pack_ints(np.array(edit_counts, dtype=np.int64))
-    ameta, apay = pack_ints(np.array(add_counts, dtype=np.int64))
-    rmeta, rpay = pack_ints(np.array(remove_counts, dtype=np.int64))
-    flat_idx = (
-        np.concatenate(edit_indices) if edit_indices else np.zeros(0, np.int64)
-    )
-    imeta, ipay = pack_ints_z(flat_idx)
-    flat_line_codes = (
-        np.concatenate(delta_lines) if delta_lines else np.zeros(0, dtype=np.int64)
-    )
+    emeta, epay = pack_ints(ecnt_arr)
+    ameta, apay = pack_ints(acnt_arr)
+    rmeta, rpay = pack_ints(rcnt_arr)
+    imeta, ipay = pack_ints_z(np.asarray(flat_idx, dtype=np.int64))
     lines_block = encode_plain_arrow(
-        line_dict.take(pa.array(flat_line_codes.astype(np.int64))), level
+        line_dict.take(pa.array(np.asarray(flat_line_codes, dtype=np.int64))), level
     )
     meta = {
         "n": n, "k": keyframe_interval,
         "groups": gmeta, "gplen": len(gpay),
         "kb_len": len(key_bits), "nb_len": len(null_bits),
         "seeded": bool(seeded.any()), "sd_len": len(seed_bits),
-        "sb_len": len(splice_bits), "n_deltas": len(splice_flags),
+        "sb_len": len(splice_bits), "n_deltas": len(splice_arr),
         "keys_len": len(keys_block),
         "ec": emeta, "eclen": len(epay),
         "ac": ameta, "aclen": len(apay),
@@ -533,10 +643,11 @@ def encode_chain(
         "ei": imeta, "eilen": len(ipay),
     }
     char_streams: tuple[bytes, ...] = ()
-    if any(char_bits_l):
+    if char_streams_data is not None and any(char_streams_data[0]):
         # char-splice streams ship ONLY when at least one edit took the
         # refinement — blocks without long-line edits stay byte-identical
         # to the pre-refinement format (golden-shas unchanged)
+        char_bits_l, char_cs, char_cd, char_frags = char_streams_data
         char_bits = blocks.pack_mask(np.array(char_bits_l, dtype=bool))
         csmeta, cspay = pack_ints(np.array(char_cs, dtype=np.int64))
         cdmeta, cdpay = pack_ints(np.array(char_cd, dtype=np.int64))
@@ -629,13 +740,60 @@ def decode_chain_arrow(
         [key_la.values.cast(pa.large_utf8()), dl_arr, base_la.values.cast(pa.large_utf8())]
     )
     dct = pc.dictionary_encode(universe)
-    all_codes = dct.indices.to_numpy().astype(np.int64)
+    # int32 code space end-to-end (native Arrow dictionary indices):
+    # halves the fold's copy traffic and the final take's index bytes
+    all_codes = dct.indices.to_numpy()
+    if all_codes.dtype != np.int32:
+        all_codes = all_codes.astype(np.int32)
     n_key_lines = len(key_la.values)
     n_dl = len(dl_arr)
     key_codes = all_codes[:n_key_lines]
     dl_codes = all_codes[n_key_lines : n_key_lines + n_dl]
     base_codes = all_codes[n_key_lines + n_dl :]
     base_of_group = {int(g): s for s, g in enumerate(seeded_gs)}
+
+    # ---- per-row output line counts, vectorized (segmented cumsum) ----
+    # every row's line count is known BEFORE the fold: keyframes from the
+    # key text line offsets, delta rows as prev_len + d where d is
+    # +adds-removes (positional) / +ins-del (splice); anchors (keyframes,
+    # nulls, seeded group starts) reset the running value.  This lets the
+    # fold write every version directly into ONE preallocated flat code
+    # buffer — no per-version allocations, no end-of-decode concatenate.
+    gs_arr = np.asarray(group_sizes, dtype=np.int64)
+    group_starts = np.concatenate(([0], np.cumsum(gs_arr)))[:-1] if len(gs_arr) else np.zeros(0, np.int64)
+    d = np.zeros(n, dtype=np.int64)
+    drows = np.flatnonzero(~is_key) if n else np.zeros(0, np.int64)
+    if len(drows):
+        d[drows] = np.where(
+            splice, edit_counts - remove_counts, add_counts - remove_counts
+        )
+    anchor = is_key.copy() if n else np.zeros(0, dtype=bool)
+    anchor_val = np.zeros(n, dtype=np.int64)
+    key_rows = np.flatnonzero(is_key & ~is_null)
+    anchor_val[key_rows] = np.diff(key_loffs)[: len(key_rows)]
+    if len(seeded_gs):
+        base_lens = np.diff(base_loffs)
+        for s, g in enumerate(seeded_gs):
+            if gs_arr[g] == 0:
+                continue
+            r0 = int(group_starts[g])
+            if not is_key[r0]:  # seeded first row deltas against the base
+                anchor[r0] = True
+                anchor_val[r0] = int(base_lens[s]) + int(d[r0])
+    if n:
+        cs = np.cumsum(d)
+        adj = np.where(anchor, anchor_val - cs, 0)
+        last_anchor = np.maximum.accumulate(np.where(anchor, np.arange(n), -1))
+        # rows before any anchor can't exist (row 0 is always a keyframe
+        # or a seeded anchor), but guard the -1 for empty-group layouts
+        lens_rows = np.where(
+            last_anchor >= 0, adj[np.maximum(last_anchor, 0)] + cs, 0
+        )
+        lens_rows[is_null] = 0
+    else:
+        lens_rows = np.zeros(0, dtype=np.int64)
+    row_offs = np.concatenate(([0], np.cumsum(lens_rows)))
+    flat = np.empty(int(row_offs[-1]), dtype=np.int32)
 
     # python-list cursors: scalar indexing into lists is ~3x cheaper
     # than numpy scalar extraction inside the 1-iteration-per-version loop
@@ -646,7 +804,6 @@ def decode_chain_arrow(
     key_l = is_key.tolist()
     null_l = is_null.tolist()
 
-    row_codes: list = [None] * n
     ki = 0          # keyframe cursor
     di = 0          # delta row cursor
     ei = 0          # flat edit-index cursor
@@ -667,25 +824,29 @@ def decode_chain_arrow(
                 if null_l[i]:
                     prev = None
                 else:
-                    prev = key_codes[key_loffs[ki] : key_loffs[ki + 1]]; ki += 1
-                    row_codes[i] = prev
+                    cur = flat[row_offs[i] : row_offs[i + 1]]
+                    cur[:] = key_codes[key_loffs[ki] : key_loffs[ki + 1]]; ki += 1
+                    prev = cur
             else:
                 c1 = ec_l[di]; c2 = ac_l[di]; c3 = rc_l[di]
                 is_splice = sp_l[di]
                 di += 1
+                cur = flat[row_offs[i] : row_offs[i + 1]]
                 if is_splice:  # (ins_count, start, del_count)
-                    ins = dl_codes[li : li + c1]; li += c1
-                    lines = np.concatenate((prev[:c2], ins, prev[c2 + c3 :]))
+                    cur[:c2] = prev[:c2]
+                    cur[c2 : c2 + c1] = dl_codes[li : li + c1]; li += c1
+                    cur[c2 + c1 :] = prev[c2 + c3 :]
                 else:  # (edit_count, add_count, remove_count)
                     idx = edit_idx_flat[ei : ei + c1]
                     nchar = (ccum[ei + c1] - ccum[ei]) if ccum is not None else 0
                     # edit indices are < m = min(na, nb), so they always
                     # land inside the tail-trimmed region
-                    lines = prev[: len(prev) - c3].copy() if c3 else prev.copy()
+                    keep = len(prev) - c3
+                    cur[:keep] = prev[:keep]
                     if nchar == 0:
                         elines = dl_codes[li : li + c1]; li += c1
                         if c1:
-                            lines[idx] = elines
+                            cur[idx] = elines
                     else:
                         # mixed full-line / char-splice edits: char-mode
                         # lines materialize from the PREVIOUS version's
@@ -702,28 +863,18 @@ def decode_chain_arrow(
                                 csv = int(cs_arr[fi]); cdv = int(cd_arr[fi])
                                 newt = old[:csv] + frag_l[fi] + old[csv + cdv :]
                                 fi += 1
-                                lines[ij] = dict_len + len(extra)
+                                cur[ij] = dict_len + len(extra)
                                 extra.append(newt)
                             else:
-                                lines[ij] = dl_codes[li]; li += 1
+                                cur[ij] = dl_codes[li]; li += 1
                     ei += c1
-                    alines = dl_codes[li : li + c2]; li += c2
                     if c2:
-                        lines = np.concatenate((lines, alines))
-                row_codes[i] = lines
-                prev = lines
+                        cur[keep:] = dl_codes[li : li + c2]
+                    li += c2
+                prev = cur
         row += int(gsize)
 
-    # one materialization: flat code gather -> LargeList -> binary_join
-    filled = np.flatnonzero(~is_null)  # delta rows are never null
-    lens = np.array([len(row_codes[i]) for i in filled], dtype=np.int64)
-    offs = np.zeros(len(filled) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    flat = (
-        np.concatenate([row_codes[i] for i in filled])
-        if len(filled)
-        else np.zeros(0, dtype=np.int64)
-    )
+    # one materialization: flat codes -> take -> LargeList -> binary_join
     dictionary = (
         pa.concat_arrays(
             [dict_vals.cast(pa.large_utf8()), pa.array(extra, type=pa.large_utf8())]
@@ -731,13 +882,12 @@ def decode_chain_arrow(
         if extra
         else dict_vals
     )
-    values = dictionary.take(pa.array(flat, type=pa.int64()))
-    list_arr = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), values)
+    values = dictionary.take(pa.array(flat))
+    list_arr = pa.LargeListArray.from_arrays(pa.array(row_offs, type=pa.int64()), values)
     joined = pc.binary_join(list_arr, pa.scalar("\n", type=pa.large_utf8()))
     if is_null.any():
-        take_idx = np.zeros(n, dtype=np.int64)
-        take_idx[filled] = np.arange(len(filled), dtype=np.int64)
-        return joined.take(pa.array(take_idx, mask=is_null))
+        # null rows have zero-length slots; re-take with a validity mask
+        return joined.take(pa.array(np.arange(n, dtype=np.int64), mask=is_null))
     return joined
 
 

@@ -242,6 +242,17 @@ def _map_codes(seg: bytes, sym_concat: np.ndarray, sym_off: np.ndarray,
 
 
 def decompress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
+    """Whole-stream vectorized decode (byte-identical to the former
+    split-at-escape loop, which paid ~20 µs of numpy dispatch per escape
+    — per-row cost on escape-dense streams).  One pass classifies every
+    position as escape MARKER / escaped LITERAL / symbol CODE: within a
+    maximal run of consecutive 0xFF bytes starting at a token boundary,
+    even offsets are markers and odd offsets their literals (a marker
+    always consumes exactly the next byte), then literals scatter as
+    single bytes and all code positions expand through the symbol table
+    in one variable-length gather."""
+    if not data:
+        return b""
     concat = b"".join(symbols)
     sym_concat = np.frombuffer(concat, dtype=np.uint8)
     k = len(symbols)
@@ -256,22 +267,44 @@ def decompress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
             offs[1:] = np.cumsum(lens[:-1])
         lut_off[:k] = offs
 
-    segs = data.split(bytes([ESCAPE]))
-    out = [_map_codes(segs[0], sym_concat, lut_off, lut_len)]
-    i = 1
-    while i < len(segs):
-        seg = segs[i]
-        if seg:
-            out.append(seg[:1])
-            out.append(_map_codes(seg[1:], sym_concat, lut_off, lut_len))
-            i += 1
-        else:
-            # empty segment: the escaped literal was 0xFF itself
-            out.append(bytes([ESCAPE]))
-            if i + 1 < len(segs):
-                out.append(_map_codes(segs[i + 1], sym_concat, lut_off, lut_len))
-            i += 2
-    return b"".join(out)
+    codes = np.frombuffer(data, dtype=np.uint8)
+    n = len(codes)
+    esc_idx = np.flatnonzero(codes == ESCAPE)
+    if len(esc_idx) == 0:
+        return _map_codes(data, sym_concat, lut_off, lut_len)
+    run_start = np.concatenate(([True], np.diff(esc_idx) > 1))
+    rel = esc_idx - np.maximum.accumulate(np.where(run_start, esc_idx, 0))
+    markers = esc_idx[rel % 2 == 0]
+    lit_pos = markers + 1
+    out_len = lut_len[codes].astype(np.int64)
+    out_len[markers] = 0
+    trailing = bool(len(lit_pos)) and lit_pos[-1] == n
+    if trailing:
+        # lone trailing escape decodes as a literal 0xFF (loop parity)
+        out_len[markers[-1]] = 1
+        lit_pos = lit_pos[:-1]
+    out_len[lit_pos] = 1
+    offs_out = np.concatenate(([0], np.cumsum(out_len)))
+    out = np.empty(int(offs_out[-1]), dtype=np.uint8)
+    out[offs_out[lit_pos]] = codes[lit_pos]
+    if trailing:
+        out[offs_out[markers[-1]]] = ESCAPE
+    is_special = np.zeros(n, dtype=bool)
+    is_special[markers] = True
+    is_special[lit_pos] = True
+    code_pos = np.flatnonzero(~is_special)
+    if len(code_pos):
+        cp = codes[code_pos]
+        ln = lut_len[cp].astype(np.int64)
+        tot = int(ln.sum())
+        src = np.repeat(
+            lut_off[cp] - (np.cumsum(ln, dtype=np.int32) - ln).astype(np.int32), ln
+        ) + np.arange(tot, dtype=np.int32)
+        dest = np.repeat(offs_out[code_pos] - (np.cumsum(ln) - ln), ln) + np.arange(
+            tot, dtype=np.int64
+        )
+        out[dest] = sym_concat[src]
+    return out.tobytes()
 
 
 # --------------------------------------------------------- framed codec ----

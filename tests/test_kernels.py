@@ -111,6 +111,46 @@ def test_fsst_empty_table():
     assert fsst.decompress_bytes(codes, []) == data
 
 
+def test_fsst_decompress_token_parse_fuzz():
+    """Pin the vectorized whole-stream decoder's token grammar against a
+    straightforward scalar walk: ESCAPE consumes exactly the next byte
+    as a literal (0xFF literals included), everything else maps through
+    the symbol table.  Random code streams with planted escape RUNS
+    exercise the run-parity marker classification."""
+    def scalar_walk(data: bytes, symbols: list[bytes]) -> bytes:
+        out, i = bytearray(), 0
+        while i < len(data):
+            b = data[i]
+            if b == fsst.ESCAPE:
+                if i + 1 < len(data):
+                    out.append(data[i + 1])
+                else:
+                    out.append(fsst.ESCAPE)  # lone trailing escape
+                i += 2
+            else:
+                out += symbols[b] if b < len(symbols) else b""
+                i += 1
+        return bytes(out)
+
+    rng = np.random.default_rng(99)
+    for _ in range(60):
+        k = int(rng.integers(0, 200))
+        symbols = [
+            bytes(rng.integers(0, 256, size=int(rng.integers(1, 9))).astype(np.uint8))
+            for _ in range(k)
+        ]
+        n = int(rng.integers(0, 400))
+        d = bytearray(rng.integers(0, 256, size=n).astype(np.uint8).tobytes())
+        for _ in range(min(8, n // 4)):  # plant escape runs
+            p = int(rng.integers(0, max(1, n - 4)))
+            run = int(rng.integers(1, 5))
+            d[p : p + run] = b"\xff" * run
+        data = bytes(d)
+        assert fsst.decompress_bytes(data, symbols) == scalar_walk(data, symbols)
+    for edge in (b"", b"\xff", b"ab\xff", b"\xff\xff", b"\xff\xff\xff"):
+        assert fsst.decompress_bytes(edge, [b"xy", b"z"]) == scalar_walk(edge, [b"xy", b"z"])
+
+
 def test_dict_beats_plain_on_low_card():
     # random ORDER matters: on cyclic toy data zstd's match-finder wins;
     # on realistic unordered categories DICT's 3-bit codes win clearly
