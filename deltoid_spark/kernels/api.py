@@ -9,7 +9,7 @@ import pandas as pd
 
 from . import blocks, chain, floats, fsst, intcodec, mapdelta, nested, strings
 
-STRING_CODECS = ("plain", "dict", "rle", "hex", "fsst")
+STRING_CODECS = ("plain", "dict", "rle", "front", "hex", "fsst")
 
 
 def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
@@ -19,6 +19,8 @@ def encode_block(series: pd.Series, codec: str, **kw) -> bytes:
         return strings.encode_dict(series, **kw)
     if codec == "rle":
         return strings.encode_rle(series, **kw)
+    if codec == "front":
+        return strings.encode_front(series, **kw)
     if codec == "hex":
         return strings.encode_hex(series)
     if codec == "fsst":
@@ -50,6 +52,8 @@ def decode_block(buf: bytes, **kw) -> pd.Series:
         return strings.decode_dict(meta, payload)
     if codec == "rle":
         return strings.decode_rle(meta, payload)
+    if codec == "front":
+        return strings.decode_front(meta, payload)
     if codec == "hex":
         return strings.decode_hex(meta, payload)
     if codec == "fsst":

@@ -43,6 +43,7 @@ CODEC_IDS = {
     "strlist": 9,  # array<string>: packed lengths + flattened elements
     "nested": 10,  # recursive struct/array/map tree, per-leaf scalar codecs
     "dint": 11,  # best-of {FoR, zigzag-delta, delta-of-delta}, int64
+    "front": 12,  # run-length + front-coded run values (sorted strings)
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

@@ -22,9 +22,31 @@ from . import api, strings
 SAMPLE_ROWS = 1024
 
 
+def _contiguous_sample(series: pd.Series, sample_rows: int) -> pd.Series:
+    """~sample_rows drawn as 4 CONTIGUOUS chunks spread over the column.
+
+    A strided sample (every n/1024-th row) destroys exactly the
+    structure the run codecs exploit — at real block sizes it made RLE
+    look like PLAIN on a column of 4-long runs and hid every shared
+    prefix from FRONT, so the trial systematically mis-picked for
+    clustered columns (measured: path blocks 2x oversized).  Contiguous
+    chunks keep runs and neighbor prefixes intact; four of them spread
+    chunk-boundary artifacts (3 artificial run breaks) and still span
+    the block for cardinality/entropy."""
+    n = len(series)
+    if n <= sample_rows:
+        return series
+    k = 4
+    chunk = sample_rows // k
+    starts = [round(i * (n - chunk) / (k - 1)) for i in range(k)]
+    return pd.concat(
+        [series.iloc[s : s + chunk] for s in starts], ignore_index=True
+    )
+
+
 def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
     n = len(series)
-    s = series if n <= sample_rows else series.iloc[:: max(1, n // sample_rows)]
+    s = _contiguous_sample(series, sample_rows)
     vals = s.dropna()
     nn = len(vals)
     if nn == 0:
@@ -42,6 +64,8 @@ def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
         entropy = float(-(p * np.log2(p)).sum())
     else:
         entropy = 0.0
+    va = vals.to_numpy(dtype=object)
+    asc = float(np.mean(va[1:] >= va[:-1])) if len(va) > 1 else 0.0
     return {
         "n": n,
         "distinct_ratio": distinct / nn,
@@ -50,6 +74,10 @@ def column_stats(series: pd.Series, sample_rows: int = SAMPLE_ROWS) -> dict:
         "entropy": entropy,
         "hex": strings.hex_eligible(vals),
         "null_ratio": 1.0 - nn / max(1, len(s)),
+        # fraction of consecutive non-null pairs in sorted order: the
+        # shared-prefix signal FRONT exploits (clustered layouts sort
+        # by (repo, path, commit), so dimension columns read ~1.0)
+        "asc_frac": asc,
     }
 
 
@@ -66,6 +94,15 @@ def shortlist(stats: dict, series: pd.Series | None = None) -> list[str]:
         cands.append("dict")
     if stats["mean_run"] >= 1.5:
         cands.append("rle")
+    # FRONT pays where consecutive values share byte prefixes: runs
+    # (prefix == whole value) or sorted/clustered neighbors.  Hex ids
+    # share no meaningful prefixes (uniform), so skip the trial there.
+    if (
+        stats["avg_len"] >= 6
+        and not stats["hex"]
+        and (stats["mean_run"] >= 1.2 or stats.get("asc_frac", 0.0) >= 0.6)
+    ):
+        cands.append("front")
     # FSST pays on short-to-medium redundant strings with sub-maximal
     # entropy; on massively repetitive columns (distinct_ratio <= 0.05)
     # DICT/RLE always win the trial (measured round 4: fixture
@@ -116,7 +153,9 @@ def select_and_encode(
         stats["trial_sizes"] = sizes
         return winner, stats, (bufs[winner] if want_buffer else None)
 
-    full = series.iloc[:: max(1, n // sample_rows)].reset_index(drop=True)
+    # contiguous chunks, not a stride: the trial must see the same run /
+    # shared-prefix structure the full encode will (see _contiguous_sample)
+    full = _contiguous_sample(series, sample_rows).reset_index(drop=True)
     half = full.iloc[: max(1, len(full) // 2)]
     est: dict[str, float] = {}
     for codec in cands:
@@ -128,7 +167,23 @@ def select_and_encode(
         per_row = max(0.0, (s_full - s_half) / max(1, len(full) - len(half)))
         fixed = max(16.0, s_full - per_row * len(full))
         est[codec] = fixed + per_row * n
-    winner = min(est, key=lambda c: (est[c], c))  # deterministic tie-break
+    # the linear fit can't rank the sub-linear codecs (dict/rle/front
+    # are all ~O(runs + distinct) with zstd's nonlinearity on top; their
+    # sample sizes barely grow between the half and full trials, so the
+    # extrapolation is mostly noise).  Finalists — the leader, plus any
+    # sub-linear codec estimating within 2.5x and the next linear codec
+    # within 1.35x — get a REAL full encode and measured bytes decide.
+    # The extra encodes are metadata-cheap (code streams, not data) and
+    # the winning buffer is returned either way (no re-encode later).
+    order = sorted(est, key=lambda c: (est[c], c))  # deterministic
+    lead = max(est[order[0]], 1.0)
+    cheap = {"dict", "rle", "front"}
+    finalists = [order[0]] + [
+        c for c in order[1:]
+        if (c in cheap and est[c] <= 2.5 * lead)
+        or (c not in cheap and est[c] <= 1.35 * lead)
+    ][:2]
+    bufs = {c: api.encode_block(series, c) for c in finalists}
+    winner = min(bufs, key=lambda c: (len(bufs[c]), c))
     stats["trial_sizes"] = est
-    buf = api.encode_block(series, winner) if want_buffer else None
-    return winner, stats, buf
+    return winner, stats, (bufs[winner] if want_buffer else None)

@@ -214,6 +214,180 @@ def decode_rle(meta: dict, payload: bytes) -> pd.Series:
     return _restore_nulls(out, mask if mask.any() else None)
 
 
+# ---------------------------------------------------------------- FRONT ----
+#
+# Run-length + front coding for clustered/sorted string columns — the
+# ``path`` column of a code table sorted by (repo, path, commit) is the
+# canonical case.  Runs of identical values collapse to run lengths
+# like RLE, and each run VALUE stores only its byte suffix after the
+# longest common prefix with the PREVIOUS run value (incremental /
+# prefix-truncated encoding — the same idea as Parquet's
+# DELTA_BYTE_ARRAY, public format spec).  Wins exactly where PLAIN
+# pays zstd's per-value match-window cost for near-identical sorted
+# neighbors and RLE still re-stores each distinct value whole
+# (measured: path blocks ~2x under the prior selector winner, see
+# BASELINE.md round 6).  Reference basis: same A2/A3 string
+# full-replacement semantics (string.rs) — the codec is a storage
+# layout, decode reproduces every value bytewise.
+
+
+def _prefix_lens(lens: np.ndarray, data: bytes) -> np.ndarray:
+    """Common byte-prefix length of each value with its predecessor,
+    vectorized: ONE segmented elementwise compare over all consecutive
+    pairs (the chain-kernel prefix trick at byte granularity).
+    Entry 0 is 0."""
+    R = len(lens)
+    if R <= 1:
+        return np.zeros(R, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    m = np.minimum(lens[:-1], lens[1:])
+    seg = np.concatenate(([0], np.cumsum(m)))
+    tot = int(seg[-1])
+    rep = np.repeat(np.arange(R - 1, dtype=np.int64), m)
+    j = np.arange(tot, dtype=np.int64) - seg[rep]
+    neq = buf[offs[:-1][rep] + j] != buf[offs[1:][rep] + j]
+    p = m.copy()
+    nz = np.flatnonzero(neq)
+    if len(nz):
+        useg, ufirst = np.unique(rep[nz], return_index=True)
+        p[useg] = (nz - seg[rep[nz]])[ufirst]
+    return np.concatenate(([0], p))
+
+
+def _within(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... as one flat int64 array."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    off = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(off, lens)
+
+
+_FRONT_MAX_WIDTH = 4096  # beyond: per-run python fallback on decode
+
+
+def encode_front(series: pd.Series, level: int | None = None) -> bytes:
+    mask, vals = _prep(series)
+    n = len(series)
+    arr_obj = vals.to_numpy(dtype=object)
+    if n:
+        # run boundary iff the (value, null) STATE changes; fillna("")
+        # means a real "" must not merge with a null neighbor
+        eq = arr_obj[1:] == arr_obj[:-1]
+        same = (mask[1:] == mask[:-1]) & (mask[1:] | eq)
+        starts = np.flatnonzero(np.concatenate(([True], ~same)))
+        run_lens = np.diff(np.concatenate((starts, [n])))
+        run_null = mask[starts]
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        run_lens = np.zeros(0, dtype=np.int64)
+        run_null = np.zeros(0, dtype=bool)
+    nn_starts = starts[~run_null]
+    varr = pa.Array.from_pandas(
+        pd.Series(arr_obj[nn_starts], dtype=object), type=pa.large_utf8()
+    )
+    lens, data = arrow_utf8_view(varr)
+    plens = _prefix_lens(lens, data)
+    slens = lens - plens
+    buf = np.frombuffer(data, dtype=np.uint8)
+    src = np.repeat(np.cumsum(lens) - lens + plens, slens) + _within(slens)
+    suffix = buf[src].tobytes()
+    rmeta, rpay = pack_ints_z(run_lens)
+    pmeta, ppay = pack_ints_z(plens)
+    smeta, spay = pack_ints_z(slens)
+    comp = blocks.compress(suffix, level)
+    meta = {
+        "n": n, "runs": len(run_lens),
+        "rl": rmeta, "rllen": len(rpay),
+        "pl": pmeta, "pllen": len(ppay),
+        "sl": smeta, "sllen": len(spay),
+        "raw": len(suffix),
+    }
+    nb = b""
+    if run_null.any():
+        nb = blocks.pack_mask(run_null)
+        meta["rn_len"] = len(nb)
+    return blocks.frame("front", meta, nb + rpay + ppay + spay + comp)
+
+
+def _front_values(plens: np.ndarray, slens: np.ndarray, suffix: bytes) -> tuple[bytes, np.ndarray]:
+    """Reconstruct the run values: (concatenated bytes, per-value lens).
+
+    Vectorized column-wise prefix propagation over a (runs, max_len)
+    byte matrix: suffix bytes scatter once, then each column fills its
+    prefix cells from the LATEST earlier run whose prefix ends at or
+    before that column (one snapshot gather per column — sources are
+    always self-suffix bytes, so a single pass per column suffices).
+    Degenerate very-long values (> _FRONT_MAX_WIDTH bytes) fall back to
+    a per-run loop; the selector only picks front where values are
+    path-sized, but decode must be total."""
+    K = len(plens)
+    L = plens + slens
+    if K == 0:
+        return b"", L
+    M = int(L.max())
+    sb = np.frombuffer(suffix, dtype=np.uint8)
+    if M > _FRONT_MAX_WIDTH:
+        soffs = np.concatenate(([0], np.cumsum(slens)))
+        outs: list[bytes] = []
+        prevb = b""
+        for i in range(K):
+            v = prevb[: plens[i]] + suffix[soffs[i] : soffs[i + 1]]
+            outs.append(v)
+            prevb = v
+        return b"".join(outs), L
+    mat = np.zeros((K, M), dtype=np.uint8)
+    if len(sb):
+        dest = np.repeat(np.arange(K, dtype=np.int64) * M + plens, slens) + _within(slens)
+        mat.ravel()[dest] = sb
+    idx = np.arange(K, dtype=np.int64)
+    for col in range(M):
+        need = plens > col
+        if not need.any():
+            continue
+        srcr = np.maximum.accumulate(np.where(plens <= col, idx, -1))
+        snapshot = mat[:, col]
+        mat[need, col] = snapshot[srcr[need]]
+    flat = np.repeat(idx * M, L) + _within(L)
+    return mat.ravel()[flat].tobytes(), L
+
+
+def decode_front(meta: dict, payload: bytes) -> pd.Series:
+    n, runs = meta["n"], meta["runs"]
+    p = 0
+    rn_len = meta.get("rn_len", 0)
+    run_null = (
+        blocks.unpack_mask(payload[:rn_len], runs)
+        if rn_len
+        else np.zeros(runs, dtype=bool)
+    )
+    p += rn_len
+    run_lens = unpack_ints_z(meta["rl"], payload[p : p + meta["rllen"]]); p += meta["rllen"]
+    plens = unpack_ints_z(meta["pl"], payload[p : p + meta["pllen"]]); p += meta["pllen"]
+    slens = unpack_ints_z(meta["sl"], payload[p : p + meta["sllen"]]); p += meta["sllen"]
+    suffix = blocks.decompress(payload[p:], meta["raw"])
+    data, L = _front_values(plens, slens, suffix)
+    offs = np.zeros(len(L) + 1, dtype=np.int64)
+    np.cumsum(L, out=offs[1:])
+    values = pa.Array.from_buffers(
+        pa.large_utf8(), len(L), [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    # expand runs to rows: null runs take a masked slot
+    run_codes = np.cumsum(~run_null) - 1  # id of each non-null run
+    row_codes = np.repeat(run_codes, run_lens) if n else np.zeros(0, np.int64)
+    row_null = np.repeat(run_null, run_lens) if n else np.zeros(0, dtype=bool)
+    if len(L) == 0:  # all rows null (or empty block)
+        return _restore_nulls([None] * n, None)
+    arr = values.take(pa.array(np.maximum(row_codes, 0), type=pa.int64()))
+    out = arr.to_pandas().astype(object)
+    if row_null.any():
+        out[row_null] = None
+    elif n == 0:
+        return pd.Series([], dtype=object)
+    return out
+
+
 # ------------------------------------------------------------------ HEX ----
 
 _HEX_OK = r"\A(?:[0-9a-f]{2})*\Z"

@@ -1749,20 +1749,20 @@ def _q21_encode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selector/framing change still surfaces via the exact-pinned codecs/
 # raw_bytes columns and the golden-sha kernel tests.
 _Q21_GOLDEN = [
-    (0, 498, 1411954, 66250,
-     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+    (0, 498, 1411954, 66117,
+     '{"repo":"plain","path":"front","commit":"hex","lang":"rle","content":"plain"}',
      "committed"),
-    (1, 502, 940375, 57914,
-     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+    (1, 502, 940375, 57761,
+     '{"repo":"plain","path":"front","commit":"hex","lang":"rle","content":"plain"}',
      "committed"),
-    (2, 600, 1114682, 75652,
-     '{"repo":"rle","path":"rle","commit":"hex","lang":"rle","content":"plain"}',
+    (2, 600, 1114682, 75462,
+     '{"repo":"front","path":"front","commit":"hex","lang":"rle","content":"plain"}',
      "committed"),
-    (3, 176, 336888, 31402,
-     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"chain"}',
+    (3, 176, 336888, 31340,
+     '{"repo":"plain","path":"front","commit":"hex","lang":"rle","content":"chain"}',
      "committed"),
-    (4, 229, 590709, 40705,
-     '{"repo":"plain","path":"rle","commit":"hex","lang":"rle","content":"chain"}',
+    (4, 229, 590709, 40645,
+     '{"repo":"plain","path":"front","commit":"hex","lang":"rle","content":"chain"}',
      "committed"),
 ]
 

@@ -32,8 +32,11 @@ def test_codec_choices_golden():
     out = _encode_tiny().set_index("column")
     # content: kernel trials CHAIN vs whole-column PLAIN and keeps the min
     assert out.loc["content", "codec"] in ("chain", "plain")
-    assert out.loc["lang", "codec"] in ("dict", "rle")
-    assert out.loc["repo", "codec"] in ("dict", "rle", "plain")
+    assert out.loc["lang", "codec"] in ("dict", "rle", "front")
+    # repo/path sort into long runs of shared-prefix values — the run
+    # codecs (rle/front) should win once the trial sees real structure
+    assert out.loc["repo", "codec"] in ("dict", "rle", "front", "plain")
+    assert out.loc["path", "codec"] in ("rle", "front", "dict", "plain")
     assert out.loc["commit", "codec"] in ("hex", "plain")
 
 

@@ -18,7 +18,7 @@ import pytest
 from deltoid_spark.kernels import api, blocks, chain, fsst, selector, strings
 from deltoid_spark.kernels.intcodec import pack_ints, unpack_ints
 
-STRING_CODECS = ["plain", "dict", "rle", "fsst"]
+STRING_CODECS = ["plain", "dict", "rle", "front", "fsst"]
 
 rng = random.Random(42)
 
@@ -51,6 +51,48 @@ BLOCKS = {
 @pytest.mark.parametrize("name", list(BLOCKS))
 def test_string_roundtrip(codec, name):
     _roundtrip(pd.Series(BLOCKS[name], dtype=object), codec)
+
+
+def test_front_wins_on_sorted_paths():
+    """FRONT (run-length + front-coded run values) must clearly beat
+    PLAIN and RLE on a sorted path column — the clustered-layout shape
+    every partition has after the (repo, path, commit) sort.  Also pins
+    the selector regression this codec exposed: the old STRIDED trial
+    sample destroyed run/prefix structure, so at real block sizes
+    (> 1024 rows, the extrapolated-trial path) the selector picked
+    PLAIN for path-shaped columns (~2x oversized blocks)."""
+    vals = []
+    for m in range(40):
+        for f in range(25):
+            vals.extend([f"src/module{m:02d}/pkg/file_{f:03d}.py"] * 4)  # 4 commits
+    s = pd.Series(vals, dtype=object)  # 4000 rows, sorted, runs of 4
+    front = len(_roundtrip(s, "front"))
+    plain = len(api.encode_block(s, "plain"))
+    rle = len(api.encode_block(s, "rle"))
+    assert front < 0.7 * plain, (front, plain)
+    assert front < 0.8 * rle, (front, rle)
+    codec, _, buf = selector.select_and_encode(s)  # > 1024 rows: trial path
+    assert codec == "front", codec
+    assert len(buf) == front
+
+
+def test_front_fuzz_roundtrip():
+    """Nulls, NULs, unicode, empty strings, and > _FRONT_MAX_WIDTH
+    values (the per-run decode fallback) all round-trip exactly."""
+    r = np.random.default_rng(7)
+    pool = [
+        None, "", "src/ma\x00in/x", "ünï/пу́ть/文件.rs",
+        "src/main/java/com/example/App.java", "L" * 5000, "x1", "x2",
+    ]
+    for _ in range(25):
+        n = int(r.integers(0, 300))
+        vals = []
+        while len(vals) < n:
+            vals.extend([pool[int(r.integers(0, len(pool)))]] * int(r.integers(1, 4)))
+        s = pd.Series(vals[:n], dtype=object)
+        if r.random() < 0.5:
+            s = s.sort_values(key=lambda x: x.fillna("")).reset_index(drop=True)
+        _roundtrip(s, "front")
 
 
 def test_hex_roundtrip():
@@ -184,7 +226,10 @@ class TestSelector:
         ]
         for s in cases:
             codec, _ = selector.select_codec(s)
-            actual = {c: len(api.encode_block(s, c)) for c in ("plain", "dict", "rle", "fsst")}
+            actual = {
+                c: len(api.encode_block(s, c))
+                for c in ("plain", "dict", "rle", "front", "fsst")
+            }
             best = min(actual.values())
             assert actual[codec] <= best * 1.15, (codec, actual)
 
