@@ -29,9 +29,38 @@ st_block = st.lists(st.one_of(st.none(), st_text), max_size=60)
 @given(st_block)
 def test_plain_dict_rle_roundtrip(vals):
     s = pd.Series(vals, dtype=object)
-    for codec in ("plain", "dict", "rle"):
+    for codec in ("plain", "dict", "rle", "front"):
         out = api.decode_block(api.encode_block(s, codec))
         assert _eq(s, out), codec
+
+
+@st.composite
+def st_clustered_paths(draw):
+    """FRONT's target shape: values sharing byte prefixes, arriving in
+    runs, optionally sorted — plus nulls and the occasional unrelated
+    outlier so prefix runs break mid-block."""
+    prefixes = draw(st.lists(st_text, min_size=1, max_size=4))
+    out: list[str | None] = []
+    for _ in range(draw(st.integers(0, 25))):
+        kind = draw(st.integers(0, 9))
+        if kind == 0:
+            v = None
+        elif kind == 1:
+            v = draw(st_text)  # outlier, no shared prefix
+        else:
+            v = draw(st.sampled_from(prefixes)) + draw(st_text)
+        out.extend([v] * draw(st.integers(1, 4)))
+    if draw(st.booleans()):
+        out.sort(key=lambda x: (x is None, x or ""))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st_clustered_paths())
+def test_front_clustered_roundtrip(vals):
+    s = pd.Series(vals, dtype=object)
+    out = api.decode_block(api.encode_block(s, "front"))
+    assert _eq(s, out)
 
 
 @settings(max_examples=30, deadline=None)
