@@ -143,13 +143,21 @@ def decode_plain(meta: dict, payload: bytes) -> pd.Series:
 
 def _factorize_exact(vals: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """NUL-safe factorize: pd.factorize hashes C strings, so values with
-    embedded ``\\x00`` collide ('' vs '\\x00').  np.unique compares full
-    Python strings; sorted unique order is deterministic (A8 analog)."""
-    arr = vals.to_numpy(dtype=object)
-    if len(arr) == 0:
+    embedded ``\\x00`` collide ('' vs '\\x00').  Arrow strings are
+    length-prefixed (NUL-safe); ``dictionary_encode`` runs at C++ rate,
+    and only the U uniques — not all n values — are then sorted with
+    Python compares, keeping the deterministic sorted unique order
+    (A8 analog) byte-identical to the ``np.unique`` formulation this
+    replaces (python ``<`` on str == np.unique's object compare)."""
+    if len(vals) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
-    uniques, codes = np.unique(arr, return_inverse=True)
-    return codes.astype(np.int64), uniques.astype(object)
+    d = pa.Array.from_pandas(vals, type=pa.large_utf8()).dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary.to_pandas().to_numpy(dtype=object)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    return rank[codes], uniq[order]
 
 
 def encode_dict(series: pd.Series, level: int | None = None) -> bytes:
@@ -393,12 +401,26 @@ def decode_front(meta: dict, payload: bytes) -> pd.Series:
 _HEX_OK = r"\A(?:[0-9a-f]{2})*\Z"
 
 
+_HEX_LUT = np.zeros(256, dtype=bool)
+_HEX_LUT[np.frombuffer(b"0123456789abcdef", dtype=np.uint8)] = True
+
+
 def hex_eligible(series: pd.Series) -> bool:
-    """True iff every non-null value is even-length lowercase hex."""
+    """True iff every non-null value is even-length lowercase hex.
+
+    One pass over the Arrow byte view (hex is ascii, so bytes == chars):
+    even lengths + an all-hex-digit LUT check on the concatenated data —
+    the per-value regex this replaces cost ~19 ms per 1024-row selector
+    sample, ~4% of the encode kernel."""
     vals = series.dropna()
     if vals.empty:
         return False
-    return bool(vals.str.fullmatch("(?:[0-9a-f]{2})*").all())
+    arr = pa.Array.from_pandas(vals.reset_index(drop=True), type=pa.large_utf8())
+    lens, data = arrow_utf8_view(arr)
+    if (lens % 2).any():
+        return False
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return bool(_HEX_LUT[buf].all())
 
 
 def encode_hex(series: pd.Series) -> bytes:
