@@ -272,7 +272,7 @@ def _within(lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(off, lens)
 
 
-_FRONT_MAX_WIDTH = 4096  # beyond: per-run python fallback on decode
+_FRONT_MAX_WIDTH = 4096  # max shared-prefix len; beyond: per-run decode fallback
 
 
 def encode_front(series: pd.Series, level: int | None = None) -> bytes:
@@ -322,21 +322,20 @@ def encode_front(series: pd.Series, level: int | None = None) -> bytes:
 def _front_values(plens: np.ndarray, slens: np.ndarray, suffix: bytes) -> tuple[bytes, np.ndarray]:
     """Reconstruct the run values: (concatenated bytes, per-value lens).
 
-    Vectorized column-wise prefix propagation over a (runs, max_len)
-    byte matrix: suffix bytes scatter once, then each column fills its
-    prefix cells from the LATEST earlier run whose prefix ends at or
-    before that column (one snapshot gather per column — sources are
-    always self-suffix bytes, so a single pass per column suffices).
-    Degenerate very-long values (> _FRONT_MAX_WIDTH bytes) fall back to
-    a per-run loop; the selector only picks front where values are
-    path-sized, but decode must be total."""
+    Suffix bytes scatter straight into the output buffer; only the
+    shared-prefix columns [0, max_prefix) go through a vectorized
+    column-wise propagation matrix, so memory and passes scale with
+    prefix length, not value length.  Degenerate very-long PREFIXES
+    (> _FRONT_MAX_WIDTH bytes) fall back to a per-run loop; the
+    selector only picks front where values are path-sized, but decode
+    must be total."""
     K = len(plens)
     L = plens + slens
     if K == 0:
         return b"", L
-    M = int(L.max())
+    P = int(plens.max())
     sb = np.frombuffer(suffix, dtype=np.uint8)
-    if M > _FRONT_MAX_WIDTH:
+    if P > _FRONT_MAX_WIDTH:
         soffs = np.concatenate(([0], np.cumsum(slens)))
         outs: list[bytes] = []
         prevb = b""
@@ -345,20 +344,40 @@ def _front_values(plens: np.ndarray, slens: np.ndarray, suffix: bytes) -> tuple[
             outs.append(v)
             prevb = v
         return b"".join(outs), L
-    mat = np.zeros((K, M), dtype=np.uint8)
+    out_offs = np.cumsum(L) - L
+    out = np.empty(int(L.sum()), dtype=np.uint8)
+    # suffix bytes land directly at their output positions — no padded
+    # (runs, max_len) matrix over the value bodies (an 80 MB zero-fill
+    # per 20 k-run block of 4 KB values under the old formulation)
     if len(sb):
-        dest = np.repeat(np.arange(K, dtype=np.int64) * M + plens, slens) + _within(slens)
-        mat.ravel()[dest] = sb
-    idx = np.arange(K, dtype=np.int64)
-    for col in range(M):
-        need = plens > col
-        if not need.any():
-            continue
-        srcr = np.maximum.accumulate(np.where(plens <= col, idx, -1))
-        snapshot = mat[:, col]
-        mat[need, col] = snapshot[srcr[need]]
-    flat = np.repeat(idx * M, L) + _within(L)
-    return mat.ravel()[flat].tobytes(), L
+        out[np.repeat(out_offs + plens, slens) + _within(slens)] = sb
+    if P:
+        # prefix propagation only needs columns [0, max_prefix): build
+        # the (runs, P) matrix from each run's suffix bytes that fall
+        # inside those columns, fill each column's prefix cells from the
+        # LATEST earlier run whose prefix ends at or before it (sources
+        # are always self-suffix bytes — a run with plens > col has
+        # length > col, and the terminal source's length exceeds col via
+        # its successor's prefix — so one pass per column suffices),
+        # then gather just the prefix bytes out.
+        idx = np.arange(K, dtype=np.int64)
+        fill = np.minimum(P, L) - plens  # >= 0: plens <= P and plens <= L
+        mat = np.zeros((K, P), dtype=np.uint8)
+        soffs = np.cumsum(slens) - slens
+        mat.ravel()[np.repeat(idx * P + plens, fill) + _within(fill)] = sb[
+            np.repeat(soffs, fill) + _within(fill)
+        ]
+        for col in range(P):
+            need = plens > col
+            if not need.any():
+                continue
+            srcr = np.maximum.accumulate(np.where(plens <= col, idx, -1))
+            snapshot = mat[:, col]
+            mat[need, col] = snapshot[srcr[need]]
+        out[np.repeat(out_offs, plens) + _within(plens)] = mat.ravel()[
+            np.repeat(idx * P, plens) + _within(plens)
+        ]
+    return out.tobytes(), L
 
 
 def decode_front(meta: dict, payload: bytes) -> pd.Series:
