@@ -1560,6 +1560,41 @@ def _zone_prune(
     return blocks.join(F.broadcast(hits), "part_id", "left_semi")
 
 
+_IN_ZONE_MAX = 64  # per-value zone OR beyond this degrades to one range
+
+
+def _zone_prune_in(
+    blocks: DataFrame, wcol: str, zvals: list, string_kind: bool = False
+) -> DataFrame:
+    """IN-list zone pruning: keep every partition in which ANY probe
+    value can land inside some active fragment's [min, max] for
+    ``wcol`` (per-value containment checks OR'd).  Beyond
+    ``_IN_ZONE_MAX`` values the OR degrades to a single loose
+    [min(values), max(values)] range check — a plan-size guard that is
+    looser but never wrong (the residual ``isin`` filter is exact, same
+    contract as _zone_prune)."""
+    mn, mx = ("smin", "smax") if string_kind else ("zmin", "zmax")
+    if mn not in blocks.columns or not zvals:
+        return blocks
+    if len(zvals) > _IN_ZONE_MAX:
+        return _zone_prune(blocks, wcol, min(zvals), max(zvals), string_kind)
+    lit = (lambda v: F.lit(str(v))) if string_kind else (lambda v: F.lit(int(v)))
+    cond = F.lit(False)
+    for v in zvals:
+        cond = cond | (
+            (F.col(mn).isNull() | (F.col(mn) <= lit(v)))
+            & (F.col(mx).isNull() | (F.col(mx) >= lit(v)))
+        )
+    hits = (
+        blocks.filter(F.col("column") == wcol)
+        .groupBy("part_id")
+        .agg(F.max(F.when(cond, 1).otherwise(0)).alias("hit"))
+        .filter(F.col("hit") == 1)
+        .select("part_id")
+    )
+    return blocks.join(F.broadcast(hits), "part_id", "left_semi")
+
+
 def _bloom_prune(blocks: DataFrame, wcol: str, value: str) -> DataFrame:
     """Point-probe pruning via per-block Bloom filters (kernels/bloom):
     drop every partition in which EVERY active fragment's filter for
@@ -1587,6 +1622,39 @@ def _bloom_prune(blocks: DataFrame, wcol: str, value: str) -> DataFrame:
             "hit",
             F.when(F.col("bloom").isNull(), F.lit(True)).otherwise(
                 _maybe(F.col("bloom"))
+            ),
+        )
+        .groupBy("part_id")
+        .agg(F.max(F.col("hit").cast("int")).alias("h"))
+        .filter(F.col("h") == 1)
+        .select("part_id")
+    )
+    return blocks.join(F.broadcast(hits), "part_id", "left_semi")
+
+
+def _bloom_prune_in(blocks: DataFrame, wcol: str, values: list[str]) -> DataFrame:
+    """IN-list point-probe pruning: drop every partition in which every
+    active fragment's Bloom filter proves ALL probe values absent.  The
+    whole probe list ships in the UDF closure and each block answers it
+    with one vectorized FNV sweep (kernels/bloom.bloom_maybe_any); same
+    optimization-only contract as _bloom_prune."""
+    if "bloom" not in blocks.columns or not values:
+        return blocks
+    from ..kernels.bloom import bloom_maybe_any
+
+    @F.pandas_udf("boolean")
+    def _maybe_any(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [True if x is None else bloom_maybe_any(bytes(x), values) for x in b]
+        )
+
+    hits = (
+        blocks.filter(F.col("column") == wcol)
+        .select("part_id", "bloom")
+        .withColumn(
+            "hit",
+            F.when(F.col("bloom").isNull(), F.lit(True)).otherwise(
+                _maybe_any(F.col("bloom"))
             ),
         )
         .groupBy("part_id")
@@ -1637,9 +1705,14 @@ def decode(
     strings, unicode included) cannot intersect every predicate's range are pruned
     before any kernel runs, and a residual row filter restores exact
     semantics afterwards.  Either bound may be None (open-ended).
-    Predicate columns are always included in the output (the residual
-    filter reads them).  Tables encoded before zone maps existed
-    decode fine — pruning silently degrades to scan-all.
+    where=(col, [v1, v2, ...]) is the IN-list form — batch point
+    probes ("fetch these N commits"): a partition survives when ANY
+    value can land in its zones, string columns additionally answer
+    the whole list with one per-block Bloom sweep, and the residual is
+    an exact ``isin``.  Predicate columns are always included in the
+    output (the residual filter reads them).  Tables encoded before
+    zone maps existed decode fine — pruning silently degrades to
+    scan-all.
 
     on_error="skip" is READ-side failure isolation (the decode mirror
     of encode's fail-the-partition-not-the-job taxonomy): a partition
@@ -1663,13 +1736,28 @@ def decode(
         raise ValueError("on_error must be 'raise' or 'skip'")
     if at_version is not None and at_version < 0:
         raise ValueError("at_version must be >= 0")
-    wpreds: list[tuple] = []
+    wpreds: list[tuple] = []  # (wcol, wlo, whi, wvals): wvals set for IN-lists
     if where is not None:
         for w in ([where] if isinstance(where, tuple) else list(where)):
+            if len(w) == 2:  # (col, [v1, v2, ...]) — IN-list point probes
+                wcol, wvals = w
+                if not isinstance(wvals, (list, tuple, set, frozenset)) or not wvals:
+                    raise ValueError(
+                        "IN-list where needs (col, non-empty list of values)"
+                    )
+                if any(v is None for v in wvals):
+                    raise ValueError("IN-list where values must be non-null")
+                vals = list(dict.fromkeys(wvals))
+                try:  # deterministic plan/probe order when comparable
+                    vals = sorted(vals)
+                except TypeError:
+                    pass
+                wpreds.append((wcol, None, None, vals))
+                continue
             wcol, wlo, whi = w
             if wlo is None and whi is None:
                 raise ValueError("where needs at least one of (lo, hi)")
-            wpreds.append((wcol, wlo, whi))
+            wpreds.append((wcol, wlo, whi, None))
     if strict:
         failed = (
             _manifest_active(spark, os.path.join(out_dir, "manifest"), as_of_gen)
@@ -1687,8 +1775,9 @@ def decode(
             )
     info = read_table_spec(spark, out_dir)
     spec = info["spec"]
-    zpreds: list[tuple] = []  # (wcol, wddl, wlo, whi, zlo, zhi)
-    for wcol, wlo, whi in wpreds:
+    zpreds: list[tuple] = []  # (wcol, wddl, wlo, whi, zlo, zhi) — ranges
+    ipreds: list[tuple] = []  # (wcol, wddl, vals, zvals) — IN-lists
+    for wcol, wlo, whi, wvals in wpreds:
         wddl = dict(spec).get(wcol)
         if wddl is None:
             raise ValueError(f"where column {wcol!r} not in table")
@@ -1723,7 +1812,10 @@ def decode(
                 return int(pd.Timestamp(v).value // _NS_PER_DAY)
             return int(v)
 
-        zpreds.append((wcol, wddl, wlo, whi, _zbound(wlo), _zbound(whi)))
+        if wvals is not None:
+            ipreds.append((wcol, wddl, wvals, [_zbound(v) for v in wvals]))
+        else:
+            zpreds.append((wcol, wddl, wlo, whi, _zbound(wlo), _zbound(whi)))
     version_prune = latest_only or at_version is not None
     if columns is not None:
         unknown = set(columns) - {n for n, _ in spec}
@@ -1732,7 +1824,7 @@ def decode(
         internal = set(columns)
         if info["content_col"] in internal or version_prune:
             internal |= set(info["key_cols"])  # chain seeds / version ids
-        wcols = {zp[0] for zp in zpreds}
+        wcols = {zp[0] for zp in zpreds} | {ip[0] for ip in ipreds}
         internal |= wcols  # the residual filters need their columns
         decode_spec = [(n, d) for n, d in spec if n in internal]
         out_spec = [(n, d) for n, d in spec if n in set(columns) or n in wcols]
@@ -1761,9 +1853,15 @@ def decode(
             # equality probe: zones rarely help on hash-like columns
             # (commit/path); the per-block Bloom filter does
             blocks = _bloom_prune(blocks, wcol, str(wlo))
+    for wcol, wddl, vals, zvals in ipreds:
+        # IN-list point probes: any-value zone intersection, then (for
+        # string columns) a one-sweep Bloom probe over the whole list
+        blocks = _zone_prune_in(blocks, wcol, zvals, string_kind=(wddl == "string"))
+        if wddl == "string":
+            blocks = _bloom_prune_in(blocks, wcol, [str(v) for v in vals])
 
     def _residual(df: DataFrame) -> DataFrame:
-        if not zpreds:
+        if not zpreds and not ipreds:
             return df
         # the zone maps pruned PARTITIONS; exact row semantics come
         # from this residual filter (AND across predicates) over the
@@ -1786,6 +1884,18 @@ def decode(
                 pred = pred & (F.col(wcol) >= _lit(wlo))
             if whi is not None:
                 pred = pred & (F.col(wcol) <= _lit(whi))
+        for wcol, wddl, vals, _zvals in ipreds:
+            if wddl == "string":
+                pyvals = [str(v) for v in vals]
+            elif wddl in ("float", "double"):
+                pyvals = [float(v) for v in vals]
+            elif wddl == "timestamp":
+                pyvals = [pd.Timestamp(v).to_pydatetime() for v in vals]
+            elif wddl == "date":
+                pyvals = [pd.Timestamp(v).date() for v in vals]
+            else:
+                pyvals = [int(v) for v in vals]
+            pred = pred & F.col(wcol).isin(pyvals)
         return df.filter(pred)
 
     # applyInArrow, not applyInPandas: the return boundary mirrors the

@@ -151,3 +151,19 @@ def bloom_maybe(bloom: bytes | None, value: str) -> bool:
     h1, h2 = _fnv_pair_matrix(mat, lens)
     bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8), bitorder="little")
     return bool(bits[_positions_vec(h1, h2, m_bits).reshape(-1)].all())
+
+
+def bloom_maybe_any(bloom: bytes | None, values: list[str]) -> bool:
+    """IN-list probe: False ONLY when the filter proves EVERY value
+    absent.  One padded byte matrix + FNV column sweep covers the whole
+    probe list (same kernels as bloom_build), so a K-value probe costs
+    one vectorized pass, not K python round-trips."""
+    if not bloom:
+        return True
+    if not values:
+        return False
+    m_bits = len(bloom) * 8
+    mat, lens = _byte_matrix([v.encode("utf-8") for v in values])
+    h1, h2 = _fnv_pair_matrix(mat, lens)
+    bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8), bitorder="little")
+    return bool(bits[_positions_vec(h1, h2, m_bits)].all(axis=1).any())

@@ -1916,6 +1916,54 @@ ORDER BY path
 """
 
 
+def _q60_in_list_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point-probe decode — where=(col, [v1, v2, ...]): reuses
+    the q49 encoded table and fetches the rows of THREE known commits
+    (md5(text) of doc_ids 0/70/140, all present) plus one fabricated
+    absent value in a single decode.  A partition survives the scan
+    only when some probe value can land in its zones AND its Bloom
+    filter admits at least one value (kernels/bloom.bloom_maybe_any:
+    the whole list is answered by one vectorized FNV sweep per block);
+    the residual ``isin`` restores exact semantics, so the oracle is
+    the same rows derived straight from documents.  This is the
+    "fetch these N commits" read path — the batched generalization of
+    q59's single probe."""
+    from .jobs import decode
+
+    docs = load(spark, sf_dir, "documents")
+    probes = [
+        r["c"]
+        for r in docs.filter(F.col("doc_id").isin([0, 70, 140]))
+        .select(F.md5("text").alias("c"))
+        .collect()
+    ]
+    dec = decode(
+        spark,
+        _q49_encoded_table(spark, sf_dir),
+        where=("commit", probes + ["0" * 40]),
+    )
+    return dec.select("repo", "path", "commit", "size").orderBy("path")
+
+
+# the encoded table holds only doc_id % 7 = 0 rows (see
+# _q49_encoded_table), and documents contains genuine duplicate texts,
+# so the oracle must scope the md5 match to the same subset or an
+# off-subset text collision would desync it from the decode side; the
+# fabricated absent probe matches nothing in either engine and needs
+# no clause
+_Q60_ORACLE = """
+SELECT concat('org/repo-', lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')) AS repo,
+       concat('src/f', CAST(doc_id AS VARCHAR), '.txt') AS path,
+       md5(text) AS commit,
+       CAST(n_chars AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 = 0
+  AND md5(text) IN (SELECT md5(text) FROM documents
+                    WHERE doc_id IN (0, 70, 140))
+ORDER BY path
+"""
+
+
 _SPLIT: dict[str, tuple[Callable, str]] = {
     # Ordering is deliberate: the driver's correctness harness walks
     # queries() in insertion order and checked exactly the first 50 of
@@ -1933,6 +1981,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q57_bitstream_probe": (_q57_bitstream_probe, _q57_oracle()),
     "q58_unicode_zone_decode": (_q58_unicode_zone_decode, _Q58_ORACLE),
     "q59_bloom_point_lookup": (_q59_bloom_point_lookup, _Q59_ORACLE),
+    "q60_in_list_decode": (_q60_in_list_decode, _Q60_ORACLE),
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),

@@ -825,6 +825,71 @@ def test_zone_map_pruning_unicode(spark, tmp_path_factory):
     assert pruned < allp, (sorted(pruned), sorted(allp))
 
 
+def test_decode_in_list_predicate(spark, tmp_path_factory):
+    """where=(col, [v1, v2, ...]) — batch point probes: partitions
+    survive only when ANY value can land in their zones (strings
+    additionally answer the whole list with one per-block Bloom
+    sweep), the residual isin keeps exact semantics, and malformed
+    IN-lists are rejected up front."""
+    import pytest
+
+    from deltoid_spark.jobs import decode, encode
+
+    rows = []
+    for r in range(4):
+        for i in range(300):
+            rows.append((f"org{r}/repo", f"f{i}.py", f"{r}{i:07x}" + "a" * 32,
+                         "py", f"content {r} {i}", r * 1000 + i))
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, size bigint",
+    )
+    out = str(tmp_path_factory.mktemp("inlist"))
+    encode(spark, df, out, target_rows=300)
+
+    # string IN through zones + blooms: 2 present commits + 1 absent
+    vals = ["1" + format(5, "07x") + "a" * 32,
+            "1" + format(9, "07x") + "a" * 32, "f" * 40]
+    got = decode(spark, out, where=("commit", vals)).collect()
+    assert sorted(r["size"] for r in got) == [1005, 1009]
+    # the probe really pruned partitions (both values live in repo org1)
+    pruned = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True, where=("commit", vals))
+        .select("part_id").distinct().collect()
+    }
+    allp = {
+        r["part_id"]
+        for r in decode(spark, out, with_part_id=True)
+        .select("part_id").distinct().collect()
+    }
+    assert pruned < allp, (sorted(pruned), sorted(allp))
+    # all-absent list prunes everything
+    assert decode(spark, out, where=("commit", ["f" * 40])).count() == 0
+
+    # int IN through int zones; duplicates in the list are harmless
+    got2 = decode(spark, out, where=("size", [0, 2299, 2299, 3299, 9999]))
+    assert sorted(r["size"] for r in got2.collect()) == [0, 2299, 3299]
+
+    # compound: range AND in-list compose like any other predicates
+    both = decode(
+        spark, out, where=[("repo", "org1/", "org1/z"), ("size", [1005, 2005])]
+    ).collect()
+    assert len(both) == 1 and both[0]["size"] == 1005
+
+    # beyond _IN_ZONE_MAX the zone OR degrades to a loose range, never
+    # to wrong answers
+    big = [f"9{i:07x}" + "a" * 32 for i in range(100)] + [vals[0]]
+    assert sorted(
+        r["size"] for r in decode(spark, out, where=("commit", big)).collect()
+    ) == [1005]
+
+    for bad in [("commit", []), ("commit", "notalist"), ("commit", [None])]:
+        with pytest.raises(ValueError, match="IN-list"):
+            decode(spark, out, where=bad)
+
+
 def test_zone_map_pruning_timestamps(spark, tmp_path_factory):
     """where over a timestamp column: bounds convert through the same
     storage mapping the zone maps use; residual filter compares native
