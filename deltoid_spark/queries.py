@@ -1969,7 +1969,7 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     # queries() in insertion order and checked exactly the first 50 of
     # 55 in round 5 (CORRECTNESS_r05 = first 50, insertion-ordered), so
     # entries beyond ~50 risk getting no row.  The five queries that
-    # missed r05 (q21/q22/q23/q29/q42) plus the new q56-q59 therefore
+    # missed r05 (q21/q22/q23/q29/q42) plus the new q56-q60 therefore
     # lead; the rotation candidates at the tail are long-green since
     # r03/r04.
     "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
