@@ -59,7 +59,10 @@ def main(argv: list[str] | None = None) -> int:
                           "open-ended.  Bounds may be ints or any string "
                           "pandas parses as a timestamp/date.  Use '|' as the "
                           "separator instead (COL|LO|HI) when a bound itself "
-                          "contains ':' (e.g. a full timestamp).  Repeatable; "
+                          "contains ':' (e.g. a full timestamp).  "
+                          "COL:in:V1,V2,... is the IN-list form (batched "
+                          "point probes through zones + Bloom filters; "
+                          "values may not contain commas).  Repeatable; "
                           "multiple predicates AND together.")
 
     his = sub.add_parser("history", help="commit log: one row per generation")
@@ -123,8 +126,18 @@ def main(argv: list[str] | None = None) -> int:
                 where = []
                 for spec in args.where:
                     sep = "|" if "|" in spec else ":"
+                    parts = spec.split(sep, 2)
+                    if len(parts) == 3 and parts[1] == "in":
+                        # COL:in:V1,V2,... — IN-list point probes; values
+                        # stay RAW text like range bounds (decode coerces
+                        # per the target column's DDL)
+                        vals = [v for v in parts[2].split(",") if v]
+                        if not vals:
+                            ap.error(f"--where IN-list needs values, got {spec!r}")
+                        where.append((parts[0], vals))
+                        continue
                     try:
-                        col, lo, hi = spec.split(sep, 2)
+                        col, lo, hi = parts
                     except ValueError:
                         ap.error(f"--where wants COL{sep}LO{sep}HI, got {spec!r}")
                     where.append((col, _bound(lo), _bound(hi)))

@@ -258,6 +258,11 @@ rc |= cli.main(["history", "--out", out])
 rc |= cli.main(["metrics", "--out", out])
 rc |= cli.main(["vacuum", "--out", out])
 rc |= cli.main(["decode", "--out", out, "--dest", os.path.join(base, "dec.parquet")])
+rc |= cli.main(["decode", "--out", out, "--where", "lang:in:python,go",
+                "--dest", os.path.join(base, "dec_in.parquet")])
+import pandas as _pd
+_di = _pd.read_parquet(os.path.join(base, "dec_in.parquet"))
+assert len(_di) > 0 and set(_di["lang"]) <= {{"python", "go"}}, set(_di["lang"])
 rc |= cli.main(["verify", "--input", os.path.join(base, "full.parquet"), "--out", out])
 shared["stop"]()
 print("CLI_RC", rc)
