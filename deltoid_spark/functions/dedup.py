@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .hashing import hash60
+from .spread import spread
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 hashes per band
@@ -38,7 +39,12 @@ def exact_dupes(docs: DataFrame) -> DataFrame:
 
 
 def char_shingles(docs: DataFrame, width: int = SHINGLE) -> DataFrame:
-    """Explode each doc into its character shingles (1-indexed substrings)."""
+    """Explode each doc into its character shingles (1-indexed substrings).
+
+    The narrow doc rows spread across cores BEFORE the ~|text|x explode
+    (spread.py: no-op when the scan already parallelises) so the
+    per-shingle hash work never serialises on an unsplittable input."""
+    docs = spread(docs, "doc_id")
     return docs.select(
         "doc_id",
         F.explode(
@@ -65,15 +71,23 @@ def minhash_signatures(
         # ONE md5 per shingle; the k hashes derive via Kirsch-Mitzenmacher
         # double hashing h_i = (h1 + i*h2) mod M from the digest's two
         # 32-bit halves — 8x cheaper than k separate md5 calls and still
-        # reproducible in any engine with md5 + integer arithmetic
+        # reproducible in any engine with md5 + integer arithmetic.
+        # h1/h2 are PROJECTED columns (not inlined into the aggregates):
+        # subexpression elimination does not reach across aggregate
+        # update expressions, so inlining evaluated md5 2k times per
+        # shingle — projecting first evaluates it once (measured 3x on
+        # the LSH signature stage).
         h1 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
         h2 = F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("long")
+        hashed = grams.select("doc_id", h1.alias("h1"), h2.alias("h2"))
         aggs = [
-            F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(2_147_483_647))).alias(f"mh{i}")
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(2_147_483_647))
+            ).alias(f"mh{i}")
             for i in range(k)
         ]
-    else:
-        aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+        return hashed.groupBy("doc_id").agg(*aggs)
+    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return grams.groupBy("doc_id").agg(*aggs)
 
 
@@ -103,16 +117,21 @@ def lsh_candidate_pairs(
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bh")).select(
         "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # ONE groupBy per bucket instead of a bucket self-join: the join
+    # formulation re-evaluates the whole shingle->md5->minhash subtree
+    # for BOTH sides (Spark does not dedup self-join subtrees) and
+    # shuffles banded twice; grouping shuffles it once, computes the
+    # signatures once, and emits the identical a<b pair set from each
+    # bucket's doc list (pair count per bucket is B^2/2 either way).
+    buckets = (
+        banded.groupBy("band", "h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -389,19 +408,31 @@ def _simhash64(text: str) -> int:
 
 
 def _token_hash_halves(docs: DataFrame) -> DataFrame:
-    """Explode whitespace tokens and hash each to two 32-bit halves.
+    """Distinct whitespace tokens per doc with multiplicity, each hashed
+    to two 32-bit halves.
+
+    Duplicate tokens collapse BEFORE the hash (natural text repeats
+    tokens ~2-3x), so md5 and the 64 vote sums run per DISTINCT
+    (doc, token) with an exact count ``c`` — the totals are identical
+    because every downstream vote is weighted by ``c``.  The dedup
+    groupBy adds NO exchange: spread() already hash-partitions by
+    doc_id, which satisfies the (doc_id, tok) clustering requirement.
 
     h = first 16 hex chars of md5(token) = first 8 digest bytes
     big-endian; hi/lo carry bits 63..32 / 31..0.  conv() on 8 hex chars
     fits a signed long, so everything stays JVM-side.
     """
     return (
-        docs.select("doc_id", F.explode(F.split("text", "\\s+")).alias("tok"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", "\\s+")).alias("tok"))
         .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+            "c",
         )
     )
 
@@ -414,14 +445,15 @@ def _vote(b: int):
 
 def simhash(docs: DataFrame) -> DataFrame:
     """SimHash per doc, entirely in JVM expressions (no Python at all):
-    explode tokens -> md5 -> 64 conditional sums (map-side combinable;
-    the shuffle carries one row of 64 longs per doc) -> sign bits.
+    explode tokens -> per-doc distinct+count -> md5 -> 64 count-weighted
+    conditional sums (map-side combinable; the shuffle carries one row
+    of 64 longs per doc) -> sign bits.
 
     Tokenless docs (empty/whitespace text) get simhash 0, matching the
     pure-python reference.
     """
     votes = _token_hash_halves(docs).groupBy("doc_id").agg(
-        *[F.sum(_vote(b)).alias(f"a{b}") for b in range(64)]
+        *[F.sum(_vote(b) * F.col("c")).alias(f"a{b}") for b in range(64)]
     )
     # bit 63 contributes the sign via Java shiftleft wrap (1L << 63 < 0),
     # matching the reference's int64 wrap
@@ -477,7 +509,7 @@ def strip_boilerplate_lines(
     (array_sort on (position, line) structs -> join) — no global sort,
     no self-join.
     """
-    lines = docs.select(
+    lines = spread(docs, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("ln", "line")
     ).withColumn(
         "lh", hash60("line", portable)

@@ -16,6 +16,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .spread import spread
+
 
 def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col
@@ -46,7 +48,7 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
         F.col("embedding").cast("array<double>").alias("qv")
     )
     return (
-        emb.filter(F.col("vec_id") != query_vec_id)
+        spread(emb, "vec_id").filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import fingerprint_hex, hash60
+from .spread import spread
 
 
 def n_tokens(col: str = "text") -> Column:
@@ -71,7 +72,7 @@ STOPWORDS = {"en": " the ", "fr": " le ", "de": " der ", "es": " el ", "zh": "çš
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus stats (length + token counts, all integers)."""
-    t = docs.select(
+    t = spread(docs, "doc_id").select(
         "lang",
         F.length("text").alias("n_chars"),
         n_tokens().alias("n_toks"),
@@ -91,7 +92,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language-ID: stopword occurrence votes -> confusion matrix
     against the labeled ``lang`` column."""
-    c = docs
+    c = spread(docs, "doc_id")
     for lang, sw in STOPWORDS.items():
         c = c.withColumn(f"c_{lang}", occurrences("text", sw))
     guess = (
@@ -121,7 +122,7 @@ def fingerprints(docs: DataFrame, portable: bool = True) -> DataFrame:
     space-collapsed text (the document-identity key for fuzzy-exact
     dedup).  portable switches md5 -> xxhash64 hex (see hashing.py,
     the ONE documented scale switch shared by every hashing operator)."""
-    return docs.select(
+    return spread(docs, "doc_id").select(
         "doc_id",
         fingerprint_hex(
             F.lower(F.trim(F.regexp_replace("text", " +", " "))), portable
@@ -133,7 +134,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """Integer quality facets per doc: length, tokens, mean token length
     (x100, integer), stopword hits.  Integer outputs keep the DuckDB
     cross-check exact."""
-    t = docs.select(
+    t = spread(docs, "doc_id").select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens().alias("n_toks"),
@@ -162,7 +163,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     toks = F.filter(
         F.split(F.col("text"), "[ \\t\\n\\r]+"), lambda t: t != F.lit("")
     )
-    d = docs.select("doc_id", toks.alias("toks"))
+    d = spread(docs, "doc_id").select("doc_id", toks.alias("toks"))
     words = d.select("doc_id", F.explode("toks").alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     wstats = wc.groupBy("doc_id").agg(
@@ -238,7 +239,7 @@ def lm_coverage(
     # (the q26 shuffle-weight cut): the broadcast reference table is
     # (long, long) rows instead of strings â€” bounded by the distinct-
     # trigram count (|charset|^3), ~2x lighter than string keys
-    tri = docs.select(
+    tri = spread(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
@@ -292,7 +293,7 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     scrub = F.regexp_replace(
         F.regexp_replace(F.col("text"), EMAIL_RX, "<EMAIL>"), IPV4_RX, "<IP>"
     )
-    return docs.select(
+    return spread(docs, "doc_id").select(
         "doc_id",
         F.regexp_count("text", F.lit(EMAIL_RX)).cast("long").alias("n_emails"),
         F.regexp_count("text", F.lit(IPV4_RX)).cast("long").alias("n_ips"),
@@ -316,7 +317,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     per-doc top-k window partitions by doc_id, bounded by per-doc
     vocabulary.  No collect, no unbounded window partitions.
     """
-    words = docs.select(
+    words = spread(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.filter(

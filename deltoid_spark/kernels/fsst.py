@@ -48,20 +48,38 @@ _SAMPLE_BYTES = 1 << 14
 
 
 def train(data: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Pick up to ``max_symbols`` symbols from a bounded sample."""
+    """Pick up to ``max_symbols`` symbols from a bounded sample.
+
+    Counting is vectorized (numpy sliding windows packed into uint64
+    keys + ``np.unique``) but reproduces the round-4 Python loop's
+    Counter EXACTLY — same positions, same thinning step, same
+    ``+= step`` scaling — so the symbol table, and therefore every
+    encoded block, stays byte-identical (pinned by the golden-sha
+    tests).  Train runs on every trial encode the selector requests,
+    so its cost is a first-order term of the encode wall."""
     sample = data[:_SAMPLE_BYTES]
-    counts: Counter[bytes] = Counter()
     n = len(sample)
-    for ln in range(2, MAX_LEN + 1):
-        step = 1 if ln <= 3 else ln - 2  # thin out long-substring scan
-        for i in range(0, n - ln + 1, step):
-            counts[sample[i : i + ln]] += step  # scale to unbias thinning
-    # gain = bytes saved; require a symbol to actually pay for itself
-    multi = [
-        (s, (len(s) - 1) * c)
-        for s, c in counts.items()
-        if (len(s) - 1) * c >= len(s) + 2
-    ]
+    # gain = bytes saved; require a symbol to actually pay for itself.
+    # Each window length has disjoint keys (different byte lengths), so
+    # per-length np.unique IS the full count — no cross-length merge.
+    multi: list[tuple[bytes, int]] = []
+    if n >= 2:
+        arr = np.frombuffer(sample, dtype=np.uint8)
+        for ln in range(2, min(MAX_LEN, n) + 1):
+            step = 1 if ln <= 3 else ln - 2  # thin out long-substring scan
+            win = np.lib.stride_tricks.sliding_window_view(arr, ln)[::step]
+            # pack each window into a big-endian uint64 key: order and
+            # uniqueness match the bytes slices exactly (ln <= 8)
+            mults = (256 ** np.arange(ln - 1, -1, -1)).astype(np.uint64)
+            keys = (win.astype(np.uint64) * mults).sum(axis=1)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            gain = (ln - 1) * cnt * step
+            keep = gain >= ln + 2  # vectorized pay-for-itself filter
+            be = uniq[keep].astype(">u8").tobytes()
+            multi.extend(
+                (be[j * 8 + 8 - ln : j * 8 + 8], int(g))
+                for j, g in enumerate(gain[keep].tolist())
+            )
     multi.sort(key=lambda x: (-x[1], x[0]))  # deterministic tie-break
     symbols: list[bytes] = []
     taken: set[bytes] = set()
@@ -71,10 +89,14 @@ def train(data: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         if s not in taken:
             symbols.append(s)
             taken.add(s)
-    singles = Counter(sample)
-    for b, _ in sorted(singles.items(), key=lambda x: (-x[1], x[0])):
+    single_counts = np.bincount(
+        np.frombuffer(sample, dtype=np.uint8), minlength=256
+    )
+    for b in np.lexsort((np.arange(256), -single_counts)).tolist():
         if len(symbols) >= max_symbols:
             break
+        if single_counts[b] == 0:
+            continue
         sb = bytes([b])
         if sb not in taken:
             symbols.append(sb)
@@ -297,9 +319,12 @@ def decompress_bytes(data: bytes, symbols: list[bytes]) -> bytes:
         cp = codes[code_pos]
         ln = lut_len[cp].astype(np.int64)
         tot = int(ln.sum())
+        # int64 throughout: an int32 cumsum/arange would wrap silently
+        # past 2^31 decoded symbol bytes and corrupt the gather
+        # (ADVICE r06; negligible cost at real block sizes)
         src = np.repeat(
-            lut_off[cp] - (np.cumsum(ln, dtype=np.int32) - ln).astype(np.int32), ln
-        ) + np.arange(tot, dtype=np.int32)
+            lut_off[cp].astype(np.int64) - (np.cumsum(ln) - ln), ln
+        ) + np.arange(tot, dtype=np.int64)
         dest = np.repeat(offs_out[code_pos] - (np.cumsum(ln) - ln), ln) + np.arange(
             tot, dtype=np.int64
         )

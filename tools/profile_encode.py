@@ -1,8 +1,9 @@
-"""Profile the encode kernel WITHOUT Spark: slice the bench fixture
-into target_rows-sized part_id groups exactly like assign_partitions
-would (hash of repo into small buckets), run make_encode_kernel() over
-the first K groups under cProfile, and print the top cumulative-time
-functions.  Run: python tools/profile_encode.py [K]
+#!/usr/bin/env python
+"""Profile the encode kernel single-threaded outside Spark (guide §1:
+measure first).  Reads the bench fixture, assigns part_ids exactly like
+the bench (target_rows = n_rows // 128), then runs make_encode_kernel
+over every partition under cProfile.  Evidence source for
+OPTIMIZATION_r07.md; not part of the driver contract.
 """
 
 from __future__ import annotations
@@ -14,60 +15,61 @@ import sys
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, "/root/repo")
 
-from deltoid_spark.fixtures import codegen
-from deltoid_spark.jobs.pipeline import make_encode_kernel
+from deltoid_spark.jobs.pipeline import make_encode_kernel  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-fixture = codegen.ensure_fixture("bench")
-tbl = pq.read_table(fixture)
-n = tbl.num_rows
-target = max(500, n // 128)
-print(f"fixture rows={n} target_rows={target}")
+def main() -> None:
+    tbl = pq.read_table("/root/repo/.fixtures/code_files_bench.parquet")
+    n = tbl.num_rows
+    target = max(500, n // 128)
+    # mirror assign_partitions: group rows by (repo, path) chains into
+    # ~target_rows partitions — approximate here by hashing repo+path
+    import pandas as pd
 
-# group rows by repo-hash buckets (assign_partitions analog, pure local)
-repo = tbl.column("repo").to_pandas()
-codes, _uniq = pd.factorize(repo)
-part = (codes % 128).astype(np.int64)
-tbl = tbl.append_column("part_id", pa.array(part))
+    keys = pd.DataFrame(
+        {
+            "repo": tbl.column("repo").to_pandas(),
+            "path": tbl.column("path").to_pandas(),
+        }
+    )
+    chain = keys["repo"] + "\x00" + keys["path"]
+    codes, _ = pd.factorize(chain, sort=True)
+    # chains -> contiguous partition ranges of ~target rows
+    order = np.argsort(codes, kind="stable")
+    part_of_row = np.empty(n, dtype=np.int64)
+    part_of_row[order] = np.arange(n) // target
+    tbl = tbl.append_column("part_id", pa.array(part_of_row))
 
-kernel = make_encode_kernel()
-order = np.argsort(part, kind="stable")
-tbl = tbl.take(pa.array(order))
-part_sorted = part[order]
-bounds = np.searchsorted(part_sorted, np.arange(129))
+    kern = make_encode_kernel()
+    parts = sorted(set(part_of_row.tolist()))
+    print(f"rows={n} partitions={len(parts)} target={target}")
 
-groups = []
-for g in range(K):
-    lo, hi = bounds[g], bounds[g + 1]
-    if hi > lo:
-        groups.append(tbl.slice(lo, hi - lo).combine_chunks())
+    slices = []
+    for p in parts:
+        mask = pa.array(part_of_row == p)
+        slices.append(tbl.filter(mask))
 
-raw = sum(
-    sum(len(x) for x in gr.column(c).to_pylist() if x is not None)
-    for gr in groups
-    for c in ("repo", "path", "commit", "lang", "content")
-)
-print(f"profiling {len(groups)} groups, {sum(g.num_rows for g in groups)} rows, {raw/1e6:.1f} MB raw")
+    t0 = time.time()
+    prof = cProfile.Profile()
+    prof.enable()
+    total_out = 0
+    for s in slices:
+        out = kern(s)
+        total_out += out.num_rows
+    prof.disable()
+    wall = time.time() - t0
+    print(f"encode wall {wall:.2f}s, out rows {total_out}")
+    prof.dump_stats("/tmp/encode_profile.prof")
+    buf = io.StringIO()
+    st = pstats.Stats(prof, stream=buf)
+    st.sort_stats("cumulative").print_stats(45)
+    print(buf.getvalue())
 
-# warm (allocator/page faults are VM noise; see memory: bench-methodology)
-kernel(groups[0])
 
-pr = cProfile.Profile()
-t0 = time.time()
-pr.enable()
-for gr in groups:
-    kernel(gr)
-pr.disable()
-wall = time.time() - t0
-print(f"wall {wall:.2f}s -> {raw/1e9/wall:.3f} GB/s single-thread")
-
-s = io.StringIO()
-pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(35)
-print(s.getvalue())
+if __name__ == "__main__":
+    main()
