@@ -95,13 +95,25 @@ def run(
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
 
-    # decode throughput (output bytes reconstructed per second)
-    from .jobs.pipeline import ROW_SCHEMA, _decode_partition
+    # decode throughput (output bytes reconstructed per second).
+    # applyInArrow with the owned pandas->Arrow conversion — the SAME
+    # return boundary the production decode() job uses — instead of
+    # applyInPandas, whose serializer re-transposes ~2 GB of decoded
+    # strings through pandas on the way back to the JVM (guide §4).
+    from .jobs.pipeline import (
+        DEFAULT_SPEC,
+        ROW_SCHEMA,
+        _decode_partition,
+        _pdf_to_arrow,
+    )
+
+    def _decode_arrow(tbl):
+        return _pdf_to_arrow(_decode_partition(tbl.to_pandas()), DEFAULT_SPEC)
 
     t0 = time.time()
     (
         written.groupBy("part_id")
-        .applyInPandas(_decode_partition, ROW_SCHEMA)
+        .applyInArrow(_decode_arrow, ROW_SCHEMA)
         .write.format("noop").mode("overwrite").save()
     )
     decode_wall = time.time() - t0

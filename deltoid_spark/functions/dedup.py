@@ -216,7 +216,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     iteration count.
     """
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # persist HASH-PARTITIONED on u: every round's edges-x-labels join
+    # requires clustering by u, and labels leave their groupBy hash-
+    # partitioned by node with the same partition count, so the join
+    # reuses both sides' partitioning — one exchange per round removed
+    # from the O(log n) iteration
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("u"))
+        .persist()
+    )
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -1070,14 +1070,24 @@ def media_near_dup_pairs(
     per-bucket join cost is bounded at cap^2/2 and the excluded list
     is at most 4N/cap rows (broadcast-small).  Exact-duplicate mass
     belongs to the exact-dedup pass (groupBy dhash), not to an LSH
-    pair explosion."""
+    pair explosion.
+
+    The band count is DERIVED from ``max_hamming`` (pigeonhole: k =
+    max_hamming + 1 bands guarantee two hashes within max_hamming
+    share an intact band — ADVICE r06: the fixed 4-band layout
+    silently lost recall for callers passing 4-7).  The default
+    max_hamming=3 keeps the exact 4x16-bit layout documented above."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    k = max_hamming + 1
+    offs = [(64 * i) // k for i in range(k + 1)]
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("dhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF)).alias("v"),
+            F.shiftrightunsigned(F.col("dhash"), offs[b])
+            .bitwiseAND(F.lit((1 << (offs[b + 1] - offs[b])) - 1)).alias("v"),
         )
-        for b in range(4)
+        for b in range(k)
     ]
     banded = (
         hashed.filter(F.col("dhash").isNotNull())

@@ -23,6 +23,113 @@ def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col
 
 
+# ----------------------------------------------------------------------
+# Exact-sequential numpy kernels (Arrow-batched).
+#
+# The HOF ``aggregate`` folds below (dot / l2norm / projections) are
+# bit-exact cross-engine because they fix the IEEE operation ORDER:
+# ((0 + x0*c0) + x1*c1) + ...  Spark interprets those lambdas per
+# element (~us each), which made the fold the dominant cost of every
+# similarity operator.  These kernels vectorize across ROWS while
+# looping dims IN THE SAME ORDER — each row's float sequence is
+# identical to the fold's (including the 0.0 + first-term step and the
+# separate x*c rounding), so every produced double is bit-identical
+# (pinned by the q15/q20/q27/q29/q41/q42 oracles and unit A/Bs), at
+# numpy speed instead of expression-interpreter speed (guide §4.2).
+# ----------------------------------------------------------------------
+
+
+def _stack_embeddings(v: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(n x d float64 matrix, null-row mask) from a Series of vectors."""
+    isnull = v.isna().to_numpy()
+    vals = v.tolist()
+    if isnull.any():
+        proto = next((x for x in vals if x is not None), [])
+        zero = [0.0] * len(proto)
+        vals = [zero if x is None else x for x in vals]
+    if not vals:
+        return np.zeros((0, 0)), isnull
+    return np.asarray(vals, dtype=np.float64), isnull
+
+
+def _seq_dot(X: np.ndarray, c) -> np.ndarray:
+    """Row-wise dot(X, c) in the fold's exact order: 0 + x0*c0 + ..."""
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * c[j]
+    return acc
+
+
+def _seq_sq_norm(X: np.ndarray) -> np.ndarray:
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc = acc + X[:, j] * X[:, j]
+    return acc
+
+
+def _seq_norm_const(c) -> float:
+    """l2norm of a constant vector by the same scalar fold."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return float(np.sqrt(acc))
+
+
+def _ge0(a: np.ndarray) -> np.ndarray:
+    """Spark's ``proj >= 0`` including its NaN-is-largest semantics."""
+    return np.where(np.isnan(a), True, a >= 0)
+
+
+def _bucket_udf(coeffs_per_band: list[list[list[float]]]):
+    """pandas_udf: embedding -> array<long> of per-band sign buckets,
+    bit p of band b = sign of the band's p-th plane projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        X, isnull = _stack_embeddings(v)
+        n = len(X)
+        out = np.zeros((n, len(coeffs_per_band)), dtype=np.int64)
+        for b, planes in enumerate(coeffs_per_band):
+            bucket = np.zeros(n, dtype=np.int64)
+            for p, cv in enumerate(planes):
+                bucket += _ge0(_seq_dot(X, cv)).astype(np.int64) << p
+            out[:, b] = bucket
+        # a null embedding folds to null projections, and the exprs'
+        # when(proj >= 0, ...).otherwise(0) then yields bucket 0 per
+        # band — mirror that, not the zero-vector substitute's signs
+        if isnull.any():
+            out[isnull, :] = 0
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def _cosine_pair_udf():
+    """pandas_udf: exact cosine(a, b) — same op order as cosine()."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, na_ = _stack_embeddings(a)
+        B, nb_ = _stack_embeddings(b)
+        isnull = na_ | nb_
+        if A.size == 0:
+            out = np.zeros(len(a))
+        else:
+            # dot via zip_with order: x*y rounded once, then fold
+            acc = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                acc = acc + A[:, j] * B[:, j]
+            out = acc / (np.sqrt(_seq_sq_norm(A)) * np.sqrt(_seq_sq_norm(B)))
+        res = pd.Series(out)
+        if isnull.any():
+            res[isnull] = None
+        return res
+
+    return cos
+
+
 def dot(a, b) -> Column:
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
@@ -52,7 +159,12 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(
+                _cosine_pair_udf()(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -80,28 +192,17 @@ def random_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 42)
     hash -> uniform in [-1, 1]; no RNG state, so a re-run or another
     engine reproduces the same buckets.
     """
-    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-
-    def projection(p: int) -> Column:
-        # NB: the transform lambda must take exactly ONE parameter — a
-        # second parameter (even a defaulted `p=p` closure trick) makes
-        # PySpark use the (element, index) binary-lambda form and bind
-        # it to the array index
-        coeffs = F.transform(dim_idx, lambda d: plane_coeff(d, p, seed))
-        return F.aggregate(
-            F.zip_with(F.col("embedding").cast("array<double>"), coeffs, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    planes = [
-        F.when(projection(p) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
-        for p in range(n_planes)
-    ]
-    bucket = planes[0]
-    for p in planes[1:]:
-        bucket = bucket + p
-    return emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    emb = spread(emb, "vec_id")  # parallelise the projection batch work
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # one Arrow-batched kernel evaluates all plane projections in the
+    # folds' exact IEEE order (see the kernel block above) — replaces
+    # n_planes interpreted HOF folds per row, buckets bit-identical
+    coeffs = hyperplane_coeffs(dim, n_planes, seed)
+    barr = _bucket_udf([coeffs])(F.col("embedding").cast("array<double>"))
+    return emb.select(
+        "vec_id", "label", "embedding",
+        F.element_at(barr, 1).alias("bucket"),
+    )
 
 
 def hyperplane_coeffs(
@@ -148,27 +249,19 @@ def banded_hyperplane_buckets(
     """
     if dim is None:
         dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-    v = F.col("embedding").cast("array<double>")
-    band_structs = []
-    for b in range(n_bands):
-        coeffs = hyperplane_coeffs(dim, n_planes, seed, plane_offset=b * n_planes)
-        bits = []
-        for p, cv in enumerate(coeffs):
-            carr = F.array(*[F.lit(c) for c in cv])
-            proj = F.aggregate(
-                F.zip_with(v, carr, lambda x, c: x * c),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-        bucket = bits[0]
-        for x in bits[1:]:
-            bucket = bucket + x
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
-        )
-    return emb.select("vec_id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # the n_bands * n_planes projection folds per row dominated this
+    # operator as interpreted HOF expressions; one Arrow-batched kernel
+    # (same IEEE op order, see the kernel block above) computes every
+    # band's bucket bit-identically.  spread() first so an unsplittable
+    # input cannot serialise the batch work (no-op at scan scale).
+    emb = spread(emb, "vec_id")
+    coeffs_all = [
+        hyperplane_coeffs(dim, n_planes, seed, plane_offset=b * n_planes)
+        for b in range(n_bands)
+    ]
+    barr = _bucket_udf(coeffs_all)(F.col("embedding").cast("array<double>"))
+    return emb.select("vec_id", barr.alias("bs")).select(
+        "vec_id", F.posexplode("bs").alias("band", "bucket")
     )
 
 
@@ -201,20 +294,22 @@ def cosine_near_dup_pairs(
     explosion.
     """
     bb = banded_hyperplane_buckets(emb, n_bands, n_planes, seed)
+    # ONE bucket groupBy instead of the count + anti-join + self-join
+    # formulation, which re-evaluated the 48-fold projection subtree
+    # THREE times (Spark does not dedup self-join subtrees) and
+    # shuffled it twice.  Per-bucket doc lists yield the identical a<b
+    # pair set; the over-cap filter on the grouped count is the same
+    # mega-bucket exclusion the anti-join applied.
+    grouped = bb.groupBy("band", "bucket").agg(
+        F.collect_list("vec_id").alias("ids")
+    )
     if bucket_cap is not None:
-        bad = (
-            bb.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > bucket_cap)
-            .select("band", "bucket")
-        )
-        bb = bb.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
-    a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    c = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        grouped = grouped.filter(F.size("ids") <= bucket_cap)
     cand = (
-        a.join(c, ["band", "bucket"])
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
         .distinct()
     )
     ea = emb.select(
@@ -225,7 +320,9 @@ def cosine_near_dup_pairs(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").cast("array<double>").alias("eb"),
     )
-    sim = F.round(cosine(F.col("ea"), F.col("eb")) * 10000).cast("long")
+    # exact verify through the Arrow kernel (bit-identical doubles,
+    # see the kernel block above) instead of three HOF folds per pair
+    sim = F.round(_cosine_pair_udf()(F.col("ea"), F.col("eb")) * 10000).cast("long")
     return (
         cand.join(ea, "vec_a")
         .join(ec, "vec_b")
@@ -274,8 +371,43 @@ def list_id_col(cents: list[tuple[int, list[float]]]) -> Column:
       there is no cross-engine oracle to disagree with.
     """
     if len(cents) <= _ASSIGN_EXPR_MAX_LISTS:
-        return _list_id_expr(cents)
+        return _list_id_seq(cents)(F.col("embedding").cast("array<double>"))
     return _list_id_pandas(cents)(F.col("embedding").cast("array<double>"))
+
+
+def _list_id_seq(cents: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment, bit-identical to the
+    literal-expression argmax (_list_id_expr): per-centroid cosines in
+    the folds' exact IEEE order (see the kernel block at the top),
+    argmax = first maximum over columns in cid-ascending order (ties,
+    including all-NaN zero vectors, resolve to the lowest cid exactly
+    as the greatest() struct tie-break does).  Replaces n_lists
+    interpreted cosine folds per row; the oracle-exactness argument of
+    the literal path carries over unchanged because every double is
+    the same bits."""
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(cents, key=lambda t: t[0])
+    cids = np.array([cid for cid, _ in order], dtype=np.int64)
+    cvs = [[float(x) for x in cv] for _, cv in order]
+    ncs = [_seq_norm_const(cv) for cv in cvs]
+
+    @pandas_udf("bigint")
+    def assign(v: pd.Series) -> pd.Series:
+        X, isnull = _stack_embeddings(v)
+        cos = np.empty((len(X), len(cvs)))
+        if len(X):
+            nv = np.sqrt(_seq_sq_norm(X))
+            for i, cv in enumerate(cvs):
+                cos[:, i] = _seq_dot(X, cv) / (nv * ncs[i])
+        idx = np.argmax(cos, axis=1) if len(X) else np.zeros(0, dtype=np.int64)
+        res = pd.Series(cids[idx])
+        if isnull.any():
+            res = res.astype(object)
+            res[isnull] = None
+        return res
+
+    return assign
 
 
 def _list_id_pandas(cents: list[tuple[int, list[float]]]):
@@ -343,6 +475,7 @@ def ivf_topk(
     sequential so the DuckDB oracle reproduces every double bit-for-bit
     (same trick as the LSH planes).
     """
+    emb = spread(emb, "vec_id")  # probe-scan argmax folds: parallelise
     cents = [
         (int(r["cid"]), list(r["cv"]))
         for r in emb.orderBy("vec_id")
@@ -381,7 +514,9 @@ def ivf_topk(
         .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding").cast("array<double>"), qarr), 4).alias(
+            F.round(
+                _cosine_pair_udf()(F.col("embedding").cast("array<double>"), qarr), 4
+            ).alias(
                 "cos_sim"
             ),
         )
@@ -414,6 +549,7 @@ def kmeans_centroids(
     n_lists * dim) driver traffic, never row data.  Empty lists keep
     their previous centroid.
     """
+    emb = spread(emb, "vec_id")  # literal-argmax assignment folds: parallelise
     cents = [
         (i, list(r["cv"]))
         for i, r in enumerate(
@@ -462,6 +598,7 @@ def ivf_topk_trained(
     the real index build — same inverted-list/probe plan as ivf_topk,
     with the quantizer fit to the data instead of picked from it."""
     cents = kmeans_centroids(emb, n_lists, iters)
+    emb = spread(emb, "vec_id")  # assignment+probe folds: parallelise
     qv = list(
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").cast("array<double>"))
@@ -489,7 +626,9 @@ def ivf_topk_trained(
         .filter(F.col("list_id").isin(probes) & (F.col("vec_id") != query_vec_id))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding").cast("array<double>"), qarr), 4).alias(
+            F.round(
+                _cosine_pair_udf()(F.col("embedding").cast("array<double>"), qarr), 4
+            ).alias(
                 "cos_sim"
             ),
         )
@@ -528,7 +667,12 @@ def lsh_topk(
         .filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(
+                _cosine_pair_udf()(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)

@@ -1844,7 +1844,28 @@ def decode(
         blocks = blocks.filter(F.col("column").isin(wanted))
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
+    # String zone/Bloom pruning assumes the residual filter compares
+    # strings under binary (UTF-8 byte) order — the order (smin, smax)
+    # were recorded in at encode.  A session whose DEFAULT COLLATION is
+    # not UTF8_BINARY (e.g. UTF8_LCASE) makes the residual filter
+    # case-insensitive while pruning stays byte-ordered, silently
+    # dropping matching partitions (ADVICE r06) — so string pruning is
+    # disabled there at runtime, not just by test interlock.  Exactness
+    # is unaffected: pruning is an optimization; the residual filter
+    # still applies.
+    string_prune_ok = True
+    for _ck in (
+        "spark.sql.session.collation.default",  # Spark 4 SQLConf key
+        "spark.sql.collation.defaultCollation",
+    ):
+        try:
+            if spark.conf.get(_ck, "UTF8_BINARY") != "UTF8_BINARY":
+                string_prune_ok = False
+        except Exception:
+            pass
     for wcol, wddl, wlo, whi, zlo, zhi in zpreds:
+        if wddl == "string" and not string_prune_ok:
+            continue
         # multi-predicate pruning composes: each pass keeps only
         # partitions whose zones can intersect ITS range, so the
         # surviving set is the intersection across predicates
@@ -1854,6 +1875,8 @@ def decode(
             # (commit/path); the per-block Bloom filter does
             blocks = _bloom_prune(blocks, wcol, str(wlo))
     for wcol, wddl, vals, zvals in ipreds:
+        if wddl == "string" and not string_prune_ok:
+            continue
         # IN-list point probes: any-value zone intersection, then (for
         # string columns) a one-sweep Bloom probe over the whole list
         blocks = _zone_prune_in(blocks, wcol, zvals, string_kind=(wddl == "string"))

@@ -175,7 +175,14 @@ def select_and_encode(
     # within 1.35x — get a REAL full encode and measured bytes decide.
     # The extra encodes are metadata-cheap (code streams, not data) and
     # the winning buffer is returned either way (no re-encode later).
+    # NOTE (ADVICE r06): a want_buffer=False fast path returning the
+    # extrapolation leader without finalist encodes was tried and
+    # KILLED: the fit cannot rank the sub-linear codecs (comment
+    # above), and the pick then misses the 15% near-optimality
+    # contract (test_selector_near_optimal).  Stats-only callers pay
+    # the finalist encodes because the measured bytes ARE the picker.
     order = sorted(est, key=lambda c: (est[c], c))  # deterministic
+    stats["trial_sizes"] = est
     lead = max(est[order[0]], 1.0)
     cheap = {"dict", "rle", "front"}
     finalists = [order[0]] + [
@@ -185,5 +192,4 @@ def select_and_encode(
     ][:2]
     bufs = {c: api.encode_block(series, c) for c in finalists}
     winner = min(bufs, key=lambda c: (len(bufs[c]), c))
-    stats["trial_sizes"] = est
     return winner, stats, (bufs[winner] if want_buffer else None)

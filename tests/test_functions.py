@@ -503,6 +503,28 @@ def test_media_dhash_perceptual_dedup(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_media_near_dup_bands_track_max_hamming(spark):
+    """ADVICE r06: with the fixed 4x16-bit layout, a pair whose
+    differing bits hit ALL FOUR bands was silently lost for
+    max_hamming in 4..7.  Bands now derive from max_hamming
+    (pigeonhole: k = max_hamming + 1), so this pair — hamming 4, one
+    flipped bit inside each 16-bit quarter — MUST surface when
+    max_hamming >= 4."""
+    base = 0x0123456789ABCDEF
+    # flip one bit in each 16-bit quarter: hamming 4, no intact quarter
+    other = base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51)
+    hashed = spark.createDataFrame(
+        [(0, base), (1, other)], "media_id long, dhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.media_near_dup_pairs(hashed, max_hamming=4).collect()
+    }
+    assert got == {(0, 1): 4}
+    # the default stays the documented 4x16 layout and still excludes it
+    assert multimodal.media_near_dup_pairs(hashed).count() == 0
+
+
 def test_media_near_dup_mega_bucket_guard(spark):
     """A planted mega-bucket — 1000 identical flat images (the
     all-equal dhash every boilerplate corpus produces) — must NOT go

