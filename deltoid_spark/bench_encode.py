@@ -31,6 +31,12 @@ def run(
     from .session import get_spark
 
     fixture = codegen.ensure_fixture(name)
+    # Large sequential input splits for the encode job: its parallelism
+    # comes from the part_id shuffle, not the scan, and clustered-mode
+    # fragment boundaries (and therefore keyframe count and ratio) must
+    # track row groups, not an artificially small query-tuned split
+    # size (see session.py DS_MAX_PARTITION_BYTES).
+    os.environ.setdefault("DS_MAX_PARTITION_BYTES", "128m")
     # AQE off: the encode shuffle's partitioning is deliberate; AQE's
     # coalescing would merge reduce partitions and cap parallelism.
     spark = get_spark(

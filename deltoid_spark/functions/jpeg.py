@@ -18,8 +18,11 @@ under quantization decode bit-exact; (2) round-trip PSNR bounds on
 gradients and noise; (3) structural — byte stuffing, restart markers,
 grayscale, and 4:2:0 paths each exercised.
 
-The entropy decode loop is per-symbol Python (a huffman bitstream is
-inherently sequential); everything after it — dequantize, zigzag
+Entropy decode ships two vectorized paths (round 5): a lockstep numpy
+state machine advancing every restart-interval segment in parallel,
+and a 64Ki-entry lookup-table decoder consuming 16 bits per step; the
+original per-symbol Python walk is retained only as the A/B reference
+implementation.  Everything after entropy decode — dequantize, zigzag
 scatter, IDCT, upsample, color transform — is vectorized over all
 blocks at once.  At corpus scale the parallelism axis is rows (one
 image per row through mapInPandas), not pixels, so the per-image

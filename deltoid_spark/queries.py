@@ -1973,23 +1973,27 @@ ORDER BY path
 
 
 _SPLIT: dict[str, tuple[Callable, str]] = {
-    # Ordering is deliberate: the driver's correctness harness walks
-    # queries() in insertion order and checked exactly the first 50 of
-    # 55 in round 5 (CORRECTNESS_r05 = first 50, insertion-ordered), so
-    # entries beyond ~50 risk getting no row.  The five queries that
-    # missed r05 (q21/q22/q23/q29/q42) plus the new q56-q60 therefore
-    # lead; the rotation candidates at the tail are long-green since
-    # r03/r04.
-    "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
-    "q22_roundtrip_parity": (_q22_roundtrip_parity, _Q22_ORACLE),
-    "q23_media_features": (_q23_media_features, _q23_oracle()),
-    "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
-    "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
-    "q56_image_near_dups": (_q56_image_near_dups, _q56_oracle()),
-    "q57_bitstream_probe": (_q57_bitstream_probe, _q57_oracle()),
-    "q58_unicode_zone_decode": (_q58_unicode_zone_decode, _Q58_ORACLE),
-    "q59_bloom_point_lookup": (_q59_bloom_point_lookup, _Q59_ORACLE),
-    "q60_in_list_decode": (_q60_in_list_decode, _Q60_ORACLE),
+    # Ordering is deliberate — ROTATION POLICY (VERDICT r06 #1): the
+    # driver's correctness harness walks queries() in insertion order
+    # and has checked exactly the first 50 (insertion-ordered) since
+    # round 5, so entries beyond ~50 risk getting no row that round.
+    # Each round, the queries that most recently went unchecked rotate
+    # to the HEAD; the queries freshly green in the previous round's
+    # CORRECTNESS file take the tail.  r07: q12-q17/q20/q25/q27/q28
+    # (no r06 row; green in r03+r04+r05 and in the in-repo harness)
+    # lead, and the r06-green head (q21/q22/q23/q29/q42 + q56-q60)
+    # rotates to the tail.  Every catalog query then has a driver-green
+    # row within the last two rounds.
+    "q12_token_stats": (_q12_spark, _Q12_ORACLE),
+    "q13_lang_id": (_q13_spark, _Q13_ORACLE),
+    "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
+    "q15_ann_cosine_topk": (_q15_spark, _Q15_ORACLE),
+    "q16_embedding_stats": (_q16_spark, _Q16_ORACLE),
+    "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
+    "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
+    "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
+    "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
+    "q28_bpe_token_stats": (_q28_bpe_tokens, _q28_oracle()),
     "q03_run_lengths": (_q03_spark, _Q3_SQL),
     "q11_minhash_shingle": (_q11_spark, _Q11_ORACLE),
     "q18_lsh_candidate_pairs": (_q18_lsh_pairs, _q18_oracle()),
@@ -2020,16 +2024,17 @@ _SPLIT: dict[str, tuple[Callable, str]] = {
     "q40_stratified_sample": (_q40_stratified_sample, _Q40_ORACLE),
     "q41_embedding_clusters": (_q41_embedding_clusters, _q41_oracle()),
     "q19_simhash_buckets": (_q19_simhash_buckets, _q19_oracle()),
-    "q20_ann_lsh_topk": (_q20_ann_lsh, _q20_oracle()),
-    "q27_near_dup_pairs": (_q27_near_dup_pairs, _q27_oracle()),
-    "q28_bpe_token_stats": (_q28_bpe_tokens, _q28_oracle()),
-    "q12_token_stats": (_q12_spark, _Q12_ORACLE),
-    "q13_lang_id": (_q13_spark, _Q13_ORACLE),
-    "q14_fingerprint": (_q14_spark, _Q14_ORACLE),
-    "q15_ann_cosine_topk": (_q15_spark, _Q15_ORACLE),
-    "q16_embedding_stats": (_q16_spark, _Q16_ORACLE),
-    "q17_quality_scores": (_q17_spark, _Q17_ORACLE),
-    "q25_windowed_events": (_q25_windowed_events, _Q25_ORACLE),
+    # --- tail: green driver rows in CORRECTNESS_r06 (rotation, above)
+    "q21_encode_metrics": (_q21_encode_metrics, _q21_oracle()),
+    "q22_roundtrip_parity": (_q22_roundtrip_parity, _Q22_ORACLE),
+    "q23_media_features": (_q23_media_features, _q23_oracle()),
+    "q29_ann_ivf_topk": (_q29_ann_ivf, _q29_oracle()),
+    "q42_ann_ivf_trained": (_q42_ann_ivf_trained, _q42_oracle()),
+    "q56_image_near_dups": (_q56_image_near_dups, _q56_oracle()),
+    "q57_bitstream_probe": (_q57_bitstream_probe, _q57_oracle()),
+    "q58_unicode_zone_decode": (_q58_unicode_zone_decode, _Q58_ORACLE),
+    "q59_bloom_point_lookup": (_q59_bloom_point_lookup, _Q59_ORACLE),
+    "q60_in_list_decode": (_q60_in_list_decode, _Q60_ORACLE),
 }
 
 _SPARK_ONLY: dict[str, Callable] = {}

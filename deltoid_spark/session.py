@@ -77,7 +77,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Input split size (guide §6): the sandbox's parquet inputs are
+        # single files whose ~16-22 MB row groups pack into 1-2 splits
+        # at the 128m default, capping scan/map parallelism at 1-2 of
+        # 32 cores.  16m here means one task per row group locally.
+        # SCALE-DEPENDENT: on a real cluster scanning TB-range tables
+        # set DS_MAX_PARTITION_BYTES=512m..1g — large sequential splits
+        # cut task-scheduling overhead and shuffle block count
+        # (guide §2.2/§6); the env knob keeps one code path for both.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("DS_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
