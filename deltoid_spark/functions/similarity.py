@@ -356,19 +356,19 @@ def list_id_col(cents: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid list assignment as a Column, size-gated
     (same shape as the portable-hash switch in functions/hashing.py):
 
-    * <= _ASSIGN_EXPR_MAX_LISTS centroids: the literal-expression
-      argmax (_list_id_expr) — zero Python, sequential folds that
-      DuckDB reproduces bit-for-bit, but the PLAN grows linearly in
-      n_lists (each centroid is a literal array in the projection), so
-      it stops being the right shape past plan-literal range.
+    * <= _ASSIGN_EXPR_MAX_LISTS centroids: the exact-sequential Arrow
+      kernel (_list_id_seq, since r07) — every cosine in the literal
+      fold's IEEE order, so doubles match _list_id_expr and the DuckDB
+      oracle bit-for-bit (q29/q42 green), with a plan that stays FLAT
+      in n_lists instead of growing a literal array per centroid.
+      _list_id_expr remains as the executable spec / A/B reference.
     * larger codebooks: an Arrow-batched pandas_udf over a broadcast
-      numpy centroid matrix (_list_id_pandas) — plan size is constant
-      in n_lists (the matrix rides the serialized udf, one BLAS matmul
-      per batch).  Tie-break matches (cos desc, cid asc).  numpy's
-      pairwise summation can differ from the sequential fold in the
-      last ulp, so exact-oracle paths (q29/q42, n_lists=8) stay on the
-      literal side of the gate; at n_lists where this path engages
-      there is no cross-engine oracle to disagree with.
+      numpy centroid matrix (_list_id_pandas) — one BLAS matmul per
+      batch.  Tie-break matches (cos desc, cid asc).  numpy's pairwise
+      summation can differ from the sequential fold in the last ulp,
+      so exact-oracle paths (q29/q42, n_lists=8) stay on the seq side
+      of the gate; at n_lists where this path engages there is no
+      cross-engine oracle to disagree with.
     """
     if len(cents) <= _ASSIGN_EXPR_MAX_LISTS:
         return _list_id_seq(cents)(F.col("embedding").cast("array<double>"))
@@ -469,11 +469,12 @@ def ivf_topk(
     output and the list structure, assignment plan, and probe path are
     identical.  Scale shape: centroids are tiny and collected to the
     driver, so LIST ASSIGNMENT IS A ZERO-SHUFFLE MAP (an argmax over
-    n_lists literal dot products inside one projection — at 100 TB
-    you'd persist it as an index column once); the probe is a filter +
-    TakeOrdered, no exchange of the big side.  All folds are
-    sequential so the DuckDB oracle reproduces every double bit-for-bit
-    (same trick as the LSH planes).
+    n_lists cosines in one Arrow-batched projection — at 100 TB you'd
+    persist it as an index column once); the probe is a filter +
+    TakeOrdered, no exchange of the big side.  All arithmetic follows
+    the sequential fold order so the DuckDB oracle reproduces every
+    double bit-for-bit (same trick as the LSH planes; see the kernel
+    block at the top).
     """
     emb = spread(emb, "vec_id")  # probe-scan argmax folds: parallelise
     cents = [

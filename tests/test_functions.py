@@ -1145,7 +1145,10 @@ def test_list_id_gate_paths_agree_and_plan_flat(spark):
     pnd = {r["vec_id"]: r["lid"] for r in
            emb.select("vec_id", similarity._list_id_pandas(cents)(
                F.col("embedding")).alias("lid")).collect()}
-    assert lit == pnd
+    seq = {r["vec_id"]: r["lid"] for r in
+           emb.select("vec_id", similarity._list_id_seq(cents)(
+               F.col("embedding")).alias("lid")).collect()}
+    assert lit == pnd == seq  # r07: the seq Arrow kernel is the <=64 path
     assert set(lit.values()) == set(range(dim))  # every axis actually hit
     expect = {i: i % dim for i in range(n)}
     assert lit == expect
@@ -1158,8 +1161,16 @@ def test_list_id_gate_paths_agree_and_plan_flat(spark):
         rng = np.random.RandomState(7)
         return [(c, [float(x) for x in rng.rand(dim)]) for c in range(n_lists)]
 
-    lit_8, lit_64 = plan_len(mk(8)), plan_len(mk(64))
-    pud_256, pud_1024 = plan_len(mk(256)), plan_len(mk(1024))
-    assert lit_64 > lit_8 * 2          # literal plan grows with n_lists
-    assert pud_1024 < pud_256 * 1.1    # pandas plan flat in n_lists
-    assert pud_1024 < lit_64           # and smaller than the 64-literal plan
+    def lit_plan_len(cs):
+        df = emb.select("vec_id", similarity._list_id_expr(cs).alias("lid"))
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    # the literal expression's plan grows linearly in n_lists — the
+    # original reason the gate exists...
+    assert lit_plan_len(mk(64)) > lit_plan_len(mk(8)) * 2
+    # ...while since r07 EVERY list_id_col plan is flat: the <=64 path
+    # compiles to the seq Arrow kernel (bit-identical doubles, see
+    # _list_id_seq), the larger path to the matmul kernel
+    p8, p64, p256, p1024 = (plan_len(mk(k)) for k in (8, 64, 256, 1024))
+    assert p64 < p8 * 1.1 and p1024 < p256 * 1.1
+    assert p1024 < lit_plan_len(mk(64))
