@@ -160,7 +160,20 @@ def jaccard_verify(
     """
     pairs = lsh_candidate_pairs(docs, bands, portable=portable)
     gram_hash = hash60("g", portable)
-    grams = char_shingles(docs, width).select("doc_id", gram_hash.alias("g")).distinct()
+    # persist the distinct hashed gram set: it feeds THREE consumers
+    # (the a-side, the b-side and the per-doc sizes) and Spark
+    # re-evaluates the whole explode+md5+distinct subtree per consumer
+    # otherwise.  MEMORY_AND_DISK: 8 bytes/gram, far cheaper to keep
+    # than to hash three times; identical plans share one cache entry
+    # across repeated invocations (CacheManager canonicalization).
+    from pyspark.storagelevel import StorageLevel
+
+    grams = (
+        char_shingles(docs, width)
+        .select("doc_id", gram_hash.alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -300,7 +313,15 @@ def duplicate_text_mass(
     the join back is gram-hash-uniform so no skew handling is needed.
     """
     gram_hash = hash60("g", portable)
-    pos = char_shingles(docs, width).select("doc_id", gram_hash.alias("g"))
+    # persisted: both the gram index aggregate and the join back
+    # consume this explode+md5 subtree (see jaccard_verify note)
+    from pyspark.storagelevel import StorageLevel
+
+    pos = (
+        char_shingles(docs, width)
+        .select("doc_id", gram_hash.alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # a gram is "shared" iff it appears in >= 2 distinct docs; min!=max
     # over doc ids detects that without count(distinct) or a doc list
     shared = (
