@@ -10,8 +10,9 @@ training-data use case.
 Scale notes: shingling explodes ~|text| rows per doc — at 100 TB this
 runs as a map-side explode feeding a partial (map-side combined)
 min-aggregate, so the shuffle carries only (doc_id, k mins), not the
-shingles.  LSH band join shuffles by (band_id, band_hash), which is
-uniform by construction (hash values), so no skew handling is needed.
+shingles.  LSH bucket pairing shuffles by (band_id, band_hash), which
+is uniform by construction (hash values), so no skew handling is
+needed.
 """
 
 from __future__ import annotations
@@ -94,10 +95,10 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     docs: DataFrame, bands: int = N_BANDS, portable: bool = True
 ) -> DataFrame:
-    """MinHash-LSH: band the signatures, join within buckets.
+    """MinHash-LSH: band the signatures, pair within buckets.
 
     Docs sharing any band bucket become candidate near-dup pairs
-    (classic shingle->minhash->band->bucket-join).  Output is the
+    (classic shingle->minhash->band->bucket collision).  Output is the
     deduplicated pair list (a < b).  portable=False switches the
     shingle hashing to seeded xxhash64 (the 100 TB path — ~2x the
     md5 signature throughput, measured in BASELINE.md — for when no
